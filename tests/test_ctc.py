@@ -1,0 +1,87 @@
+"""CTC loss parity vs torch.nn.CTCLoss (values and gradients)."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.ops.ctc import ctc_loss, ctc_loss_mean
+
+
+def _case(seed=0, B=3, T=12, V=6, U=5):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, T, V).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    logit_lens = np.array([T, T - 3, T - 5], np.int32)[:B]
+    labels = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    label_lens = np.array([U, U - 2, U - 3], np.int32)[:B]
+    for b in range(B):
+        labels[b, label_lens[b]:] = 0
+    return logits, np.asarray(log_probs), logit_lens, labels, label_lens
+
+
+def _torch_nll(logits, logit_lens, labels, label_lens):
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1).transpose(0, 1)
+    return torch.nn.functional.ctc_loss(
+        lp, torch.from_numpy(labels), torch.from_numpy(logit_lens),
+        torch.from_numpy(label_lens), blank=0, reduction="none",
+        zero_infinity=False)
+
+
+def test_ctc_loss_matches_torch():
+    logits, log_probs, logit_lens, labels, label_lens = _case()
+    got = np.asarray(ctc_loss(log_probs, logit_lens, labels, label_lens))
+    ref = _torch_nll(logits, logit_lens, labels, label_lens).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_ctc_loss_mean_matches_torch_mean():
+    logits, log_probs, logit_lens, labels, label_lens = _case(seed=1)
+    got = float(ctc_loss_mean(log_probs, logit_lens, labels, label_lens))
+    lp = torch.log_softmax(torch.from_numpy(logits), dim=-1).transpose(0, 1)
+    ref = torch.nn.functional.ctc_loss(
+        lp, torch.from_numpy(labels), torch.from_numpy(logit_lens),
+        torch.from_numpy(label_lens), blank=0, reduction="mean").item()
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+def test_ctc_grad_matches_torch():
+    logits, _, logit_lens, labels, label_lens = _case(seed=2)
+
+    def loss_fn(lg):
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        return jnp.sum(ctc_loss(lp, logit_lens, labels, label_lens))
+
+    got = np.asarray(jax.grad(loss_fn)(jnp.asarray(logits)))
+
+    tl = torch.from_numpy(logits).requires_grad_(True)
+    lp = torch.log_softmax(tl, dim=-1).transpose(0, 1)
+    loss = torch.nn.functional.ctc_loss(
+        lp, torch.from_numpy(labels), torch.from_numpy(logit_lens),
+        torch.from_numpy(label_lens), blank=0, reduction="sum")
+    loss.backward()
+    np.testing.assert_allclose(got, tl.grad.numpy(), rtol=1e-3, atol=1e-4)
+
+
+def test_ctc_single_label_and_tiny():
+    # degenerate shapes: U=1, T=2
+    log_probs = jax.nn.log_softmax(jnp.zeros((1, 2, 3)), axis=-1)
+    nll = ctc_loss(log_probs, np.array([2]), np.array([[1]]), np.array([1]))
+    # paths: (b,1),(1,b),(1,1) each prob (1/3)^2 => nll = -log(3/9)
+    np.testing.assert_allclose(float(nll[0]), -np.log(3 / 9.0), rtol=1e-5)
+
+
+def test_ctc_jit_and_repeated_labels():
+    rng = np.random.RandomState(3)
+    logits = rng.randn(2, 10, 5).astype(np.float32)
+    log_probs = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    labels = np.array([[1, 1, 2, 2], [3, 3, 3, 0]], np.int32)
+    label_lens = np.array([4, 3], np.int32)
+    logit_lens = np.array([10, 9], np.int32)
+    f = jax.jit(ctc_loss)
+    got = np.asarray(f(log_probs, logit_lens, labels, label_lens))
+    ref = _torch_nll(logits, logit_lens, labels, label_lens).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
