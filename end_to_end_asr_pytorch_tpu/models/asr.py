@@ -1,0 +1,179 @@
+"""The ASR model: encoder + optional CTC head + optional attention decoder.
+
+Capability parity with the reference's ``src/asr.py:ASR`` (SURVEY.md 2.7):
+owns an ``Encoder``, and — depending on ``ctc_weight`` — a CTC linear head
+(+log_softmax) when ``ctc_weight > 0`` and an ``Attention``+``Decoder`` pair
+when ``ctc_weight < 1``. ``forward`` returns
+``(ctc_output, encode_len, att_output, att_align, dec_state)`` with per-step
+scheduled teacher forcing, like the reference.
+
+TPU-first: the reference's per-output-token Python loop (its training hot
+loop, SURVEY.md 3.4) is a ``lax.scan`` over label positions — teacher-forced
+training has a static step count, the per-step Bernoulli coins are drawn
+vectorized before the scan, and self-fed steps feed back the argmax of the
+previous logits through the carry. The same pure ``decode_step`` drives
+greedy and beam decoding.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .attention import Attention, AttentionParams, AttCache
+from .decoder import Decoder, DecoderParams, DecoderState
+from .encoder import Encoder, EncoderParams
+from ..utils.text import EOS_IDX
+
+
+def _uniform(key, shape, fan_in, dtype=jnp.float32):
+    s = 1.0 / np.sqrt(max(fan_in, 1))
+    return jax.random.uniform(key, shape, dtype, -s, s)
+
+
+class ASRParams(NamedTuple):
+    encoder: EncoderParams
+    ctc_w: Optional[jnp.ndarray]      # (enc_dim, V)
+    ctc_b: Optional[jnp.ndarray]      # (V,)
+    embed: Optional[jnp.ndarray]      # (V, emb_dim)
+    attention: Optional[AttentionParams]
+    decoder: Optional[DecoderParams]
+    char_w: Optional[jnp.ndarray]     # (dec_dim, V)
+    char_b: Optional[jnp.ndarray]     # (V,)
+
+
+class ASR:
+    """Static model object; params are a pure pytree (ASRParams)."""
+
+    def __init__(self, input_size: int, vocab_size: int, cfg: Dict[str, Any]):
+        self.vocab_size = vocab_size
+        self.ctc_weight = float(cfg.get("ctc_weight", 0.0))
+        assert 0.0 <= self.ctc_weight <= 1.0
+        self.enable_ctc = self.ctc_weight > 0.0
+        self.enable_att = self.ctc_weight < 1.0
+        self.encoder = Encoder(input_size, cfg["encoder"])
+        self.emb_drop = float(cfg.get("emb_drop", 0.0))
+        if self.enable_att:
+            dec_cfg = cfg["decoder"]
+            self.dec_dim = int(dec_cfg["dim"])
+            self.attention = Attention(cfg["attention"], self.dec_dim,
+                                       self.encoder.out_dim)
+            dec_in = self.dec_dim + self.attention.context_dim
+            self.decoder = Decoder(dec_in, dec_cfg)
+        else:
+            self.attention = None
+            self.decoder = None
+
+    def init(self, key) -> ASRParams:
+        ks = jax.random.split(key, 6)
+        enc = self.encoder.init(ks[0])
+        ctc_w = ctc_b = None
+        if self.enable_ctc:
+            ctc_w = _uniform(ks[1], (self.encoder.out_dim, self.vocab_size),
+                             self.encoder.out_dim)
+            ctc_b = jnp.zeros((self.vocab_size,))
+        embed = att = dec = char_w = char_b = None
+        if self.enable_att:
+            embed = _uniform(ks[2], (self.vocab_size, self.dec_dim),
+                             self.dec_dim)
+            att = self.attention.init(ks[3])
+            dec = self.decoder.init(ks[4])
+            char_w = _uniform(ks[5], (self.decoder.out_dim, self.vocab_size),
+                              self.decoder.out_dim)
+            char_b = jnp.zeros((self.vocab_size,))
+        return ASRParams(enc, ctc_w, ctc_b, embed, att, dec, char_w, char_b)
+
+    # ------------------------------------------------------------- encoder
+    def encode(self, p: ASRParams, feat, feat_len, *, train=False, rng=None):
+        return self.encoder(p.encoder, feat, feat_len, train=train, rng=rng)
+
+    def ctc_output(self, p: ASRParams, enc: jnp.ndarray) -> jnp.ndarray:
+        logits = jnp.dot(enc, p.ctc_w,
+                         preferred_element_type=jnp.float32) + p.ctc_b
+        return jax.nn.log_softmax(logits, axis=-1)
+
+    # ---------------------------------------------------------- att decode
+    def init_decode(self, p: ASRParams, enc, enc_len
+                    ) -> Tuple[AttCache, DecoderState, jnp.ndarray]:
+        B = enc.shape[0]
+        cache = self.attention.precompute(p.attention, enc, enc_len)
+        state = self.decoder.init_state(B, enc.dtype)
+        align = self.attention.init_align(cache)
+        return cache, state, align
+
+    def decode_step(self, p: ASRParams, cache: AttCache, state: DecoderState,
+                    prev_align: jnp.ndarray, prev_token: jnp.ndarray, *,
+                    train: bool = False, rng=None):
+        """One label-synchronous step.
+
+        prev_token (B,) int32 -> (logits (B, V), state, align, context).
+        Ordering matches the reference: attention queried with the decoder
+        hidden from the previous step, then the decoder consumes
+        [emb(prev_token) ; context].
+        """
+        query = self.decoder.query(state)
+        context, align = self.attention.step(p.attention, cache, query,
+                                             prev_align)
+        emb = p.embed[prev_token]
+        if train and self.emb_drop > 0 and rng is not None:
+            rng, r = jax.random.split(rng)
+            keep = 1.0 - self.emb_drop
+            emb = emb * jax.random.bernoulli(r, keep, emb.shape) / keep
+        dec_out, state = self.decoder.step(
+            p.decoder, state, jnp.concatenate([emb, context], axis=-1),
+            train=train, rng=rng)
+        logits = jnp.dot(dec_out, p.char_w,
+                         preferred_element_type=jnp.float32) + p.char_b
+        return logits, state, align, context
+
+    # ------------------------------------------------------------- forward
+    def forward(self, p: ASRParams, feat, feat_len, decode_step: int,
+                tf_rate: float = 1.0, teacher: Optional[jnp.ndarray] = None,
+                *, train: bool = False, rng=None):
+        """Mirror of reference ASR.forward (SURVEY.md 3.4).
+
+        Returns (ctc_output (B,T',V) | None, encode_len (B,),
+                 att_output (B,U,V) | None, att_align (B,U,H,T') | None,
+                 dec_state (B,dec_dim) | None).
+        """
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        r_enc, r_coin, r_step = jax.random.split(rng, 3)
+        enc, enc_len = self.encode(p, feat, feat_len, train=train,
+                                   rng=r_enc if train else None)
+        ctc_out = self.ctc_output(p, enc) if self.enable_ctc else None
+
+        att_out = att_align = dec_state = None
+        if self.enable_att and decode_step > 0:
+            B = enc.shape[0]
+            cache, state, align = self.init_decode(p, enc, enc_len)
+            sos = jnp.full((B,), EOS_IDX, jnp.int32)
+            # per-step teacher-forcing coins, drawn vectorized (reference
+            # draws one Bernoulli per step for the whole batch)
+            coins = jax.random.uniform(r_coin, (decode_step,)) <= tf_rate
+            step_rngs = jax.random.split(r_step, decode_step)
+
+            def scan_step(carry, inp):
+                state, align, prev_pred = carry
+                t, coin, srng = inp
+                if teacher is not None:
+                    tf_tok = jnp.where(t == 0, sos, teacher[:, jnp.maximum(t - 1, 0)])
+                    prev_tok = jnp.where(jnp.logical_or(coin, t == 0),
+                                         tf_tok, prev_pred)
+                else:
+                    prev_tok = jnp.where(t == 0, sos, prev_pred)
+                logits, state, align, _ = self.decode_step(
+                    p, cache, state, align, prev_tok,
+                    train=train, rng=srng if train else None)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                return (state, align, pred), (logits, align)
+
+            ts = jnp.arange(decode_step)
+            (state, align, _), (att_out, att_align) = jax.lax.scan(
+                scan_step, (state, align, sos), (ts, coins, step_rngs))
+            att_out = jnp.swapaxes(att_out, 0, 1)        # (B, U, V)
+            att_align = jnp.swapaxes(att_align, 0, 1)    # (B, U, H, T')
+            dec_state = self.decoder.query(state)
+        return ctc_out, enc_len, att_out, att_align, dec_state

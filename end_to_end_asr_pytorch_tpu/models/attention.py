@@ -1,0 +1,142 @@
+"""Attention mechanisms: scaled-dot and location-aware (Chorowski 2015).
+
+Capability parity with the reference's ``src/module.py`` attention classes and
+the ``src/asr.py:Attention`` head wrapper (SURVEY.md 2.7/2.8): modes
+``'dot' | 'loc'``, multi-head (``num_head``), softmax ``temperature``,
+optional value projection (``v_proj``), and for 'loc' a conv over the
+previous alignment feeding the energy (``loc_kernel_size``/``loc_kernel_num``).
+
+TPU-first design: static hyperparameters live on the ``Attention`` object
+(captured by closure at trace time); learnable weights are a pure-array
+pytree. Key/value projections are precomputed ONCE per utterance
+(``precompute``) into an ``AttCache``; the per-step function is a pure
+``(params, cache, query, prev_align) -> (context, align)`` map with no Python
+state, so the same code runs inside the training label scan, the greedy
+scan, and the batched beam-search loop (hypotheses folded into the batch dim).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _uniform(key, shape, fan_in, dtype=jnp.float32):
+    s = 1.0 / np.sqrt(max(fan_in, 1))
+    return jax.random.uniform(key, shape, dtype, -s, s)
+
+
+class AttentionParams(NamedTuple):
+    w_q: jnp.ndarray                  # (Dq, H*dim)
+    w_k: jnp.ndarray                  # (Dk, H*dim)
+    w_v: Optional[jnp.ndarray]        # (Dk, H*v_dim) or None (identity values)
+    w_merge: Optional[jnp.ndarray]    # (H*v_dim, v_dim) multi-head merge
+    loc_conv: Optional[jnp.ndarray]   # (kernel, 1, n_filt)   ('loc' only)
+    w_f: Optional[jnp.ndarray]        # (n_filt, dim)         ('loc' only)
+    bias: Optional[jnp.ndarray]       # (H*dim,)              ('loc' only)
+    v_energy: Optional[jnp.ndarray]   # (H, dim)              ('loc' only)
+
+
+class AttCache(NamedTuple):
+    keys: jnp.ndarray      # (B, H, T, dim) projected keys
+    values: jnp.ndarray    # (B, T, H*v_dim) or raw enc (B, T, Dk)
+    mask: jnp.ndarray      # (B, T) bool valid
+    inv_len: jnp.ndarray   # (B, 1) 1/enc_len
+
+
+class Attention:
+    """Static attention module; all methods are pure in (params, arrays)."""
+
+    def __init__(self, cfg: Dict[str, Any], query_dim: int, key_dim: int):
+        self.mode = cfg.get("mode", "loc")
+        if self.mode not in ("dot", "loc"):
+            raise NotImplementedError(f"attention mode {self.mode!r}")
+        self.num_head = int(cfg.get("num_head", 1))
+        self.dim = int(cfg.get("dim", 300))
+        self.temperature = float(cfg.get("temperature", 0.5))
+        self.v_proj = bool(cfg.get("v_proj", True))
+        self.loc_kernel_size = int(cfg.get("loc_kernel_size", 100))
+        self.loc_kernel_num = int(cfg.get("loc_kernel_num", 10))
+        self.query_dim = query_dim
+        self.key_dim = key_dim
+        self.v_dim = self.dim if self.v_proj else key_dim
+        # context fed to the decoder: merged back to v_dim for multi-head
+        self.context_dim = self.v_dim
+
+    def init(self, key) -> AttentionParams:
+        ks = jax.random.split(key, 8)
+        H, d = self.num_head, self.dim
+        w_q = _uniform(ks[0], (self.query_dim, H * d), self.query_dim)
+        w_k = _uniform(ks[1], (self.key_dim, H * d), self.key_dim)
+        w_v = (_uniform(ks[2], (self.key_dim, H * self.v_dim), self.key_dim)
+               if self.v_proj else None)
+        w_merge = (_uniform(ks[3], (H * self.v_dim, self.v_dim), H * self.v_dim)
+                   if H > 1 else None)
+        loc_conv = w_f = bias = v_energy = None
+        if self.mode == "loc":
+            loc_conv = _uniform(ks[4], (self.loc_kernel_size, 1,
+                                        self.loc_kernel_num),
+                                self.loc_kernel_size)
+            w_f = _uniform(ks[5], (self.loc_kernel_num, d), self.loc_kernel_num)
+            bias = jnp.zeros((H * d,))
+            v_energy = _uniform(ks[6], (H, d), d)
+        return AttentionParams(w_q, w_k, w_v, w_merge, loc_conv, w_f, bias,
+                               v_energy)
+
+    def precompute(self, p: AttentionParams, enc: jnp.ndarray,
+                   enc_len: jnp.ndarray) -> AttCache:
+        """enc (B, T, Dk), enc_len (B,) -> cached projections."""
+        B, T, _ = enc.shape
+        keys = jnp.dot(enc, p.w_k, preferred_element_type=jnp.float32)
+        keys = keys.reshape(B, T, self.num_head, self.dim).transpose(0, 2, 1, 3)
+        vals = (jnp.dot(enc, p.w_v, preferred_element_type=jnp.float32)
+                if p.w_v is not None else enc)
+        mask = jnp.arange(T)[None, :] < enc_len[:, None]
+        inv_len = 1.0 / jnp.maximum(enc_len, 1).astype(enc.dtype)
+        return AttCache(keys, vals, mask, inv_len[:, None])
+
+    def init_align(self, cache: AttCache) -> jnp.ndarray:
+        """Alignment 'before step 0': uniform over valid frames (B, H, T)."""
+        B, H, T, _ = cache.keys.shape
+        uni = jnp.where(cache.mask[:, None, :], cache.inv_len[:, :, None], 0.0)
+        return jnp.broadcast_to(uni, (B, H, T))
+
+    def step(self, p: AttentionParams, cache: AttCache, query: jnp.ndarray,
+             prev_align: jnp.ndarray):
+        """query (B, Dq), prev_align (B, H, T) ->
+        (context (B, context_dim), align (B, H, T))."""
+        B, H, T, d = cache.keys.shape
+        q = jnp.dot(query, p.w_q, preferred_element_type=jnp.float32)
+        q = q.reshape(B, H, d)
+
+        if self.mode == "dot":
+            energy = jnp.einsum("bhd,bhtd->bht", q, cache.keys,
+                                preferred_element_type=jnp.float32)
+        else:
+            a = jnp.sum(prev_align, axis=1)[:, :, None]           # (B, T, 1)
+            f = jax.lax.conv_general_dilated(
+                a, p.loc_conv, window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"))          # (B, T, F)
+            f = jnp.dot(f, p.w_f, preferred_element_type=jnp.float32)
+            qb = q + p.bias.reshape(H, d)[None]
+            tanh_arg = qb[:, :, None, :] + cache.keys + f[:, None, :, :]
+            energy = jnp.einsum("bhtd,hd->bht", jnp.tanh(tanh_arg), p.v_energy,
+                                preferred_element_type=jnp.float32)
+        energy = energy / self.temperature
+        energy = jnp.where(cache.mask[:, None, :], energy, -1e30)
+        align = jax.nn.softmax(energy, axis=-1)
+
+        if p.w_v is not None:
+            vals = cache.values.reshape(B, T, H, self.v_dim).transpose(0, 2, 1, 3)
+            ctx = jnp.einsum("bht,bhtv->bhv", align, vals,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B, H * self.v_dim)
+        else:
+            ctx = jnp.einsum("bht,btv->bhv", align, cache.values,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.reshape(B, H * self.v_dim)
+        if p.w_merge is not None:
+            ctx = jnp.dot(ctx, p.w_merge, preferred_element_type=jnp.float32)
+        return ctx, align

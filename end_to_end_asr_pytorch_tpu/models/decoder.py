@@ -1,0 +1,89 @@
+"""Speller/decoder: stacked LSTM/GRU cells advanced one label step at a time.
+
+Capability parity with the reference's ``src/asr.py:Decoder`` (SURVEY.md 2.7):
+``module LSTM|GRU``, ``dim``, ``layer``, ``dropout``; input at each step is
+``[char_embedding ; attention_context]``; exposes its hidden state as the
+attention query.
+
+TPU-first: the decoder is a pure step function over an explicit
+``DecoderState`` pytree — the training loop wraps it in a ``lax.scan`` over
+label positions, and beam search advances (B*K) folded states in a
+``lax.while_loop``; no Python-side state (the reference keeps
+``self.hidden_state`` on the module).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import rnn as rnn_ops
+
+
+class DecoderState(NamedTuple):
+    h: jnp.ndarray                 # (L, B, H)
+    c: Optional[jnp.ndarray]       # (L, B, H) for LSTM, None for GRU
+
+
+class DecoderParams(NamedTuple):
+    cells: Tuple[Any, ...]         # per-layer LSTMWeights | GRUWeights
+
+
+class Decoder:
+    def __init__(self, in_dim: int, cfg: Dict[str, Any]):
+        self.module = cfg.get("module", "LSTM").lower()
+        self.dim = int(cfg["dim"])
+        self.layers = int(cfg.get("layer", 1))
+        self.dropout = float(cfg.get("dropout", 0.0))
+        self.in_dim = in_dim
+        self.out_dim = self.dim
+
+    def init(self, key) -> DecoderParams:
+        ks = jax.random.split(key, self.layers)
+        init_fn = rnn_ops.init_lstm if self.module == "lstm" else rnn_ops.init_gru
+        cells = []
+        d = self.in_dim
+        for i in range(self.layers):
+            cells.append(init_fn(ks[i], d, self.dim))
+            d = self.dim
+        return DecoderParams(tuple(cells))
+
+    def init_state(self, batch: int, dtype=jnp.float32) -> DecoderState:
+        h = jnp.zeros((self.layers, batch, self.dim), dtype)
+        c = h if self.module == "lstm" else None
+        return DecoderState(h, c)
+
+    def query(self, state: DecoderState) -> jnp.ndarray:
+        """Attention query = top-layer hidden state (B, H)."""
+        return state.h[-1]
+
+    def step(self, p: DecoderParams, state: DecoderState, x: jnp.ndarray,
+             *, train: bool = False, rng=None
+             ) -> Tuple[jnp.ndarray, DecoderState]:
+        """x (B, in_dim) -> (output (B, dim), new state)."""
+        hs, cs = [], []
+        inp = x
+        rngs = (jax.random.split(rng, self.layers)
+                if rng is not None else [None] * self.layers)
+        for i, w in enumerate(p.cells):
+            if self.module == "lstm":
+                x_proj = jnp.dot(inp, w.w_ih,
+                                 preferred_element_type=jnp.float32) + w.b
+                h_new, c_new = rnn_ops.lstm_cell(w, state.h[i], state.c[i], x_proj)
+                cs.append(c_new)
+            else:
+                x_proj = jnp.dot(inp, w.w_ih,
+                                 preferred_element_type=jnp.float32) + w.b_ih
+                h_new = rnn_ops.gru_cell(w, state.h[i], x_proj)
+            if train and self.dropout > 0 and rngs[i] is not None and i < self.layers - 1:
+                keep = 1.0 - self.dropout
+                h_out = h_new * jax.random.bernoulli(rngs[i], keep, h_new.shape) / keep
+            else:
+                h_out = h_new
+            hs.append(h_new)
+            inp = h_out
+        new_state = DecoderState(
+            jnp.stack(hs), jnp.stack(cs) if self.module == "lstm" else None)
+        return inp, new_state
