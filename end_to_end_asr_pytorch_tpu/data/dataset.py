@@ -1,0 +1,201 @@
+"""Dataset loading and static-shape batching.
+
+Capability parity with the reference's ``src/data.py`` (SURVEY.md 2.10):
+``load_dataset(...) -> (tr_set, dv_set, feat_dim, vocab_size, tokenizer, msg)``
+and ``load_textset(...)`` for LM training, with length-sorted bucketing and
+ascending-order curriculum support.
+
+TPU-first differences from the reference's DataLoader design:
+  * Batches carry RAW waveforms (padded) — feature extraction happens on
+    device inside the jitted step (ops/audio.py), not in CPU worker processes.
+  * Every batch is padded to one of a SMALL set of canonical shapes: frame
+    counts are rounded up to a multiple of ``frame_quantum`` (default 64
+    frames = 0.64 s) and label lengths to ``text_quantum``, bounding XLA
+    recompilation (SURVEY.md section 5 long-context row). ``frame_quantum``
+    must be a multiple of the encoder's total time-downsample factor.
+  * Bucketing = sort by length, chunk into batches of near-equal length, then
+    shuffle batch ORDER per epoch (reference sorts within buckets too).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .librispeech import LibriDataset
+from ..ops.audio import create_transform
+from ..utils.text import load_text_encoder
+
+HOP = 160  # 10 ms at 16 kHz; kept in sync with ops/audio defaults
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class AudioBatchLoader:
+    """Iterable over fixed-shape numpy batches of (wave, wave_len, text,
+    text_len, names)."""
+
+    def __init__(self, dataset: LibriDataset, batch_size: int,
+                 frame_quantum: int = 64, text_quantum: int = 16,
+                 shuffle: bool = True, ascending: bool = False,
+                 seed: int = 0, cache_waves: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.frame_quantum = frame_quantum
+        self.text_quantum = text_quantum
+        self.shuffle = shuffle and not ascending
+        self.ascending = ascending
+        self.rng = np.random.RandomState(seed)
+        self._wave_cache: Optional[dict] = {} if cache_waves else None
+        n = len(dataset)
+        idx = list(range(n))  # dataset is pre-sorted ascending by size
+        self.batches = [idx[i:i + batch_size] for i in range(0, n, batch_size)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def _wave(self, i: int) -> np.ndarray:
+        if self._wave_cache is not None:
+            w = self._wave_cache.get(i)
+            if w is None:
+                w = self.ds.load_wave(i)
+                self._wave_cache[i] = w
+            return w
+        return self.ds.load_wave(i)
+
+    def _pad_samples(self, s_max: int) -> int:
+        t_needed = s_max // HOP + 1
+        t_pad = _round_up(t_needed, self.frame_quantum)
+        s_pad = (t_pad - 1) * HOP
+        if s_pad < s_max:
+            t_pad += self.frame_quantum
+            s_pad = (t_pad - 1) * HOP
+        return s_pad
+
+    def make_batch(self, ids: List[int]) -> Dict[str, Any]:
+        waves = [self._wave(i) for i in ids]
+        texts = [self.ds.text_ids(i) for i in ids]
+        s_pad = self._pad_samples(max(len(w) for w in waves))
+        u_pad = _round_up(max(len(t) for t in texts), self.text_quantum)
+        B = len(ids)
+        wave = np.zeros((B, s_pad), np.float32)
+        wave_len = np.zeros((B,), np.int32)
+        text = np.zeros((B, u_pad), np.int32)
+        text_len = np.zeros((B,), np.int32)
+        for b, (w, t) in enumerate(zip(waves, texts)):
+            wave[b, :len(w)] = w
+            wave_len[b] = len(w)
+            text[b, :len(t)] = t
+            text_len[b] = len(t)
+        return {
+            "wave": wave, "wave_len": wave_len,
+            "text": text, "text_len": text_len,
+            "name": [self.ds.utt_id(i) for i in ids],
+            "text_raw": [self.ds.text_raw(i) for i in ids],
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = list(range(len(self.batches)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for bi in order:
+            yield self.make_batch(self.batches[bi])
+
+
+class TextBatchLoader:
+    """LM batches: (text, text_len) only."""
+
+    def __init__(self, dataset: LibriDataset, batch_size: int,
+                 text_quantum: int = 16, shuffle: bool = True, seed: int = 0):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.text_quantum = text_quantum
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        idx = sorted(range(len(dataset)), key=lambda i: len(dataset.text_ids(i)))
+        self.batches = [idx[i:i + batch_size]
+                        for i in range(0, len(idx), batch_size)]
+
+    def __len__(self):
+        return len(self.batches)
+
+    def make_batch(self, ids: List[int]) -> Dict[str, Any]:
+        texts = [self.ds.text_ids(i) for i in ids]
+        u_pad = _round_up(max(len(t) for t in texts), self.text_quantum)
+        B = len(ids)
+        text = np.zeros((B, u_pad), np.int32)
+        text_len = np.zeros((B,), np.int32)
+        for b, t in enumerate(texts):
+            text[b, :len(t)] = t
+            text_len[b] = len(t)
+        return {"text": text, "text_len": text_len}
+
+    def __iter__(self):
+        order = list(range(len(self.batches)))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for bi in order:
+            yield self.make_batch(self.batches[bi])
+
+
+def _make_corpus(corpus_cfg: Dict[str, Any], splits, tokenizer) -> LibriDataset:
+    name = corpus_cfg.get("name", "librispeech").lower()
+    if name in ("librispeech", "synthetic"):  # synthetic uses libri layout
+        return LibriDataset(corpus_cfg["path"], splits, tokenizer)
+    raise NotImplementedError(f"corpus {name!r}")
+
+
+def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
+                 ascending: bool, corpus: Dict[str, Any],
+                 audio: Dict[str, Any], text: Dict[str, Any],
+                 mode: str = "train", frame_quantum: int = 64):
+    """Mirror of reference ``src/data.py:load_dataset`` (SURVEY.md 2.10).
+
+    mode='train': returns (tr_set, dv_set, feat_dim, vocab_size, tokenizer, msg)
+    mode='test' : tr_set is the dev split, dv_set is the test split, batch=1
+                  semantics are NOT forced — on-device decode is batched.
+    """
+    tokenizer = load_text_encoder(text["mode"], text["vocab_file"])
+    _, feat_dim = create_transform(audio)
+    bs = int(corpus.get("batch_size", 8))
+    if mode == "train":
+        tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
+        dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
+        tr_set = AudioBatchLoader(tr_ds, bs, frame_quantum=frame_quantum,
+                                  shuffle=not ascending, ascending=ascending)
+        dv_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
+                                  shuffle=False)
+    else:
+        dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
+        tt_ds = _make_corpus(corpus, corpus.get("test_split", corpus["dev_split"]),
+                             tokenizer)
+        tr_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
+                                  shuffle=False)
+        dv_set = AudioBatchLoader(tt_ds, bs, frame_quantum=frame_quantum,
+                                  shuffle=False)
+    msg = [
+        f"I/O spec  | audio feat = {audio.get('feat_type', 'fbank')} "
+        f"(dim {feat_dim}) | tokenizer = {text['mode']} "
+        f"(vocab {tokenizer.vocab_size})",
+        f"Corpus    | {corpus.get('name')} at {corpus['path']} | "
+        f"train {len(tr_set.ds)} utts / dev {len(dv_set.ds)} utts | "
+        f"batch {bs}",
+    ]
+    return tr_set, dv_set, feat_dim, tokenizer.vocab_size, tokenizer, msg
+
+
+def load_textset(n_jobs: int, use_gpu: bool, pin_memory: bool,
+                 corpus: Dict[str, Any], text: Dict[str, Any]):
+    """Mirror of reference ``load_textset`` for LM training (SURVEY.md 2.5)."""
+    tokenizer = load_text_encoder(text["mode"], text["vocab_file"])
+    bs = int(corpus.get("batch_size", 32))
+    tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
+    dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
+    tr_set = TextBatchLoader(tr_ds, bs)
+    dv_set = TextBatchLoader(dv_ds, bs, shuffle=False)
+    msg = [f"LM corpus | train {len(tr_ds)} / dev {len(dv_ds)} sentences | "
+           f"vocab {tokenizer.vocab_size}"]
+    return tr_set, dv_set, tokenizer.vocab_size, tokenizer, msg

@@ -1,0 +1,139 @@
+"""Native C++ runtime tests: edit distance and FLAC decode, plus WAV I/O and
+the synthetic corpus / data loaders."""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.utils import native
+from end_to_end_asr_pytorch_tpu.utils.metrics import (
+    _edit_distance_py, edit_distance, cal_er)
+from end_to_end_asr_pytorch_tpu.data.audio_io import read_wav, write_wav
+from end_to_end_asr_pytorch_tpu.data import synthetic
+from end_to_end_asr_pytorch_tpu.data.dataset import load_dataset, load_textset
+from end_to_end_asr_pytorch_tpu.utils.text import CharacterTextEncoder
+from tests.flac_encoder import encode_flac
+
+NATIVE = native.available()
+
+
+def test_edit_distance_python():
+    assert _edit_distance_py("kitten", "sitting") == 3
+    assert _edit_distance_py([], [1, 2]) == 2
+    assert _edit_distance_py("abc", "abc") == 0
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib not built")
+def test_edit_distance_native_matches_python():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        a = rng.randint(0, 5, rng.randint(0, 12)).tolist()
+        b = rng.randint(0, 5, rng.randint(0, 12)).tolist()
+        assert native.edit_distance(a, b) == _edit_distance_py(a, b)
+    # word sequences
+    assert native.edit_distance("the cat".split(), "the hat".split()) == 1
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib not built")
+def test_edit_distance_batch():
+    hyps = [[1, 2, 3], [4, 5], []]
+    refs = [[1, 3], [4, 5], [9]]
+    out = native.edit_distance_batch(hyps, refs)
+    assert out.tolist() == [1, 0, 1]
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    wave = (rng.randn(8000) * 0.2).clip(-1, 1).astype(np.float32)
+    p = tmp_path / "x.wav"
+    write_wav(str(p), wave, 16000)
+    back, sr = read_wav(str(p))
+    assert sr == 16000
+    np.testing.assert_allclose(back, wave, atol=1e-4)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib not built")
+@pytest.mark.parametrize("mode", ["verbatim", "constant", "fixed2"])
+def test_flac_decode(tmp_path, mode):
+    from end_to_end_asr_pytorch_tpu.data.flac_native import read_flac
+    rng = np.random.RandomState(1)
+    if mode == "constant":
+        pcm = np.full(3000, 123, np.int32)
+    elif mode == "fixed2":
+        t = np.arange(5000)
+        pcm = (8000 * np.sin(t / 40.0)).astype(np.int32) + rng.randint(-8, 8, 5000)
+    else:
+        pcm = rng.randint(-32768, 32767, 4000).astype(np.int32)
+    data = encode_flac(pcm, mode=mode)
+    p = tmp_path / f"{mode}.flac"
+    p.write_bytes(data)
+    wave, sr = read_flac(str(p))
+    assert sr == 16000
+    assert len(wave) == len(pcm)
+    np.testing.assert_allclose(wave, pcm.astype(np.float32) / 32768.0,
+                               atol=1e-6)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib not built")
+def test_flac_decode_stereo(tmp_path):
+    from end_to_end_asr_pytorch_tpu.data.flac_native import read_flac
+    rng = np.random.RandomState(2)
+    pcm = rng.randint(-1000, 1000, (2500, 2)).astype(np.int32)
+    (tmp_path / "s.flac").write_bytes(encode_flac(pcm))
+    wave, sr = read_flac(str(tmp_path / "s.flac"))
+    ref = pcm.astype(np.float32).mean(axis=1) / 32768.0
+    np.testing.assert_allclose(wave, ref, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    synthetic.generate_corpus(str(root), n_train=12, n_dev=4, n_test=4)
+    return root
+
+
+def test_synthetic_corpus_and_loader(corpus):
+    corpus_cfg = {"name": "synthetic", "path": str(corpus),
+                  "train_split": ["train-clean"], "dev_split": ["dev-clean"],
+                  "batch_size": 4}
+    audio_cfg = {"feat_type": "fbank", "feat_dim": 40}
+    text_cfg = {"mode": "character", "vocab_file": str(corpus / "vocab.txt")}
+    tr, dv, feat_dim, vocab_size, tok, msg = load_dataset(
+        1, False, False, False, corpus_cfg, audio_cfg, text_cfg)
+    assert feat_dim == 40 and vocab_size == 30
+    batches = list(tr)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["wave"].ndim == 2 and b["text"].ndim == 2
+    # static-shape contract: frame count divisible by quantum
+    frames = b["wave"].shape[1] // 160 + 1
+    assert frames % 64 == 0
+    assert b["text"].shape[1] % 16 == 0
+    # transcripts round-trip through the tokenizer
+    i = 0
+    hyp = tok.decode(b["text"][i, :b["text_len"][i]].tolist())
+    assert hyp == b["text_raw"][i]
+
+
+def test_textset_loader(corpus):
+    corpus_cfg = {"name": "synthetic", "path": str(corpus),
+                  "train_split": ["train-clean"], "dev_split": ["dev-clean"],
+                  "batch_size": 8}
+    text_cfg = {"mode": "character", "vocab_file": str(corpus / "vocab.txt")}
+    tr, dv, vocab_size, tok, msg = load_textset(1, False, False, corpus_cfg,
+                                                text_cfg)
+    b = next(iter(tr))
+    assert b["text"].shape[0] <= 8
+    assert (b["text_len"] > 0).all()
+
+
+def test_cal_er():
+    vocab = CharacterTextEncoder.RESERVED + list("abc") + ["<space>"]
+    tok = CharacterTextEncoder(vocab)
+    truth = np.array([tok.encode("ab")])          # 'a','b',eos
+    pred_ids = np.array([tok.encode("ab")])
+    assert cal_er(tok, pred_ids, truth, mode="cer") == 0.0
+    pred_bad = np.array([tok.encode("ac")])
+    assert cal_er(tok, pred_bad, truth, mode="cer") == 0.5
