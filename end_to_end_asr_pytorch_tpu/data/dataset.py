@@ -97,12 +97,18 @@ class AudioBatchLoader:
             "text_raw": [self.ds.text_raw(i) for i in ids],
         }
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def epoch_iter(self, shuffle: Optional[bool] = None
+                   ) -> Iterator[Dict[str, Any]]:
+        """One epoch; shuffle=False yields length-ascending order (curriculum,
+        reference SURVEY.md 2.4)."""
         order = list(range(len(self.batches)))
-        if self.shuffle:
+        if self.shuffle if shuffle is None else shuffle:
             self.rng.shuffle(order)
         for bi in order:
             yield self.make_batch(self.batches[bi])
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        return self.epoch_iter()
 
 
 class TextBatchLoader:

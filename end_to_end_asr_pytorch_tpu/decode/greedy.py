@@ -1,0 +1,42 @@
+"""Greedy decoding: CTC best-path and attention self-feeding argmax.
+
+Replaces the reference's validation-time greedy decode (SURVEY.md 2.4) with
+fully-batched on-device scans — no per-utterance Python loops.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.asr import ASR, ASRParams
+from ..utils.text import EOS_IDX
+
+
+def ctc_greedy(ctc_output: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, V) log-probs -> (B, T) best-path ids (collapse happens in the
+    tokenizer's ignore_repeat decode, as the reference does)."""
+    return jnp.argmax(ctc_output, axis=-1).astype(jnp.int32)
+
+
+def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
+               enc_len: jnp.ndarray, max_step: int) -> jnp.ndarray:
+    """Self-fed argmax decode for ``max_step`` steps -> (B, U) ids.
+    Stops contributing after the first <eos> (ids forced to eos thereafter,
+    which the tokenizer's decode truncates)."""
+    B = enc.shape[0]
+    cache, state, align = model.init_decode(p, enc, enc_len)
+    sos = jnp.full((B,), EOS_IDX, jnp.int32)
+
+    def step(carry, _):
+        state, align, prev_tok, done = carry
+        logits, state, align, _ = model.decode_step(
+            p, cache, state, align, prev_tok)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        pred = jnp.where(done, EOS_IDX, pred)
+        done = jnp.logical_or(done, pred == EOS_IDX)
+        return (state, align, pred, done), pred
+
+    done0 = jnp.zeros((B,), bool)
+    _, ids = jax.lax.scan(step, (state, align, sos, done0), None,
+                          length=max_step)
+    return jnp.swapaxes(ids, 0, 1)

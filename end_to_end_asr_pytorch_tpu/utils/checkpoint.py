@@ -1,0 +1,63 @@
+"""Checkpoint save/load with the reference's lifecycle (SURVEY.md 2.3/3.5):
+``best_att.pth`` / ``best_ctc.pth`` / ``latest.pth`` per experiment, dict keys
+``{'model', 'optimizer', 'global_step', '<metric>': score}``; training resume
+restores model+optimizer+step, test mode restores model only.
+
+Format is msgpack via flax.serialization (not torch pickles); the ``.pth``
+names are kept so reference-style tooling/docs carry over. Restoring needs a
+structure template (freshly-initialized state), which every solver has.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, model_params: Any, opt_state: Any = None,
+                    global_step: int = 0,
+                    metrics: Optional[Dict[str, float]] = None) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "model": serialization.to_bytes(model_params),
+        "optimizer": (serialization.to_bytes(opt_state)
+                      if opt_state is not None else b""),
+        "global_step": int(global_step),
+        "metrics": metrics or {},
+    }
+    # container: a tiny json header + binary blobs
+    with open(path, "wb") as f:
+        header = {
+            "global_step": payload["global_step"],
+            "metrics": payload["metrics"],
+            "model_bytes": len(payload["model"]),
+            "opt_bytes": len(payload["optimizer"]),
+        }
+        hdr = json.dumps(header).encode()
+        f.write(len(hdr).to_bytes(8, "little"))
+        f.write(hdr)
+        f.write(payload["model"])
+        f.write(payload["optimizer"])
+
+
+def load_checkpoint(path: str, model_template: Any,
+                    opt_template: Any = None) -> Dict[str, Any]:
+    """Returns {'model', 'optimizer' (or None), 'global_step', 'metrics'}."""
+    with open(path, "rb") as f:
+        hlen = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(hlen).decode())
+        model_b = f.read(header["model_bytes"])
+        opt_b = f.read(header["opt_bytes"])
+    out = {
+        "model": serialization.from_bytes(model_template, model_b),
+        "global_step": header["global_step"],
+        "metrics": header["metrics"],
+        "optimizer": None,
+    }
+    if opt_template is not None and opt_b:
+        out["optimizer"] = serialization.from_bytes(opt_template, opt_b)
+    return out
