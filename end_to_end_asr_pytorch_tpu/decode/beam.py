@@ -1,0 +1,246 @@
+"""Batched on-device joint CTC/attention beam search with RNN-LM fusion.
+
+Capability parity with the reference's ``src/decode.py:BeamDecoder``
+(SURVEY.md 2.15): combined score
+``(1-ctc_w) * logP_att + ctc_w * CTCPrefixScore + lm_w * logP_lm``,
+``min_len_ratio``/``max_len_ratio`` bounds from the encoded length, eos
+finalization with length-normalized final ranking.
+
+TPU-first (this IS the >=10x headline, SURVEY.md 3.2): the reference decodes
+one utterance per CPU process with a per-hypothesis Python loop; here the
+whole batch advances K hypotheses each in ONE jitted ``lax.scan`` —
+hypothesis state is (B, K, ...) tensors, the decoder/LM states are folded to
+(B*K, ...), CTC prefix scoring is the vectorized scan from ops/ctc_prefix,
+and top-k pruning is ``lax.top_k`` over the (K * candidates) axis. For large
+vocabs, CTC scoring is restricted to the ``ctc_candidates`` best extensions
+by attention+LM score (the reference's 'cheap_compute' idea, vectorized).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.asr import ASR, ASRParams
+from ..models.lm import RNNLM, RNNLMParams
+from ..ops import ctc_prefix
+from ..utils.text import EOS_IDX, PAD_IDX
+
+NEG_INF = -1e30
+
+
+class BeamOutput(NamedTuple):
+    tokens: jnp.ndarray   # (B, K, L) emitted tokens (no sos/eos), 0-padded
+    lengths: jnp.ndarray  # (B, K)
+    scores: jnp.ndarray   # (B, K) length-normalized, sorted desc
+
+
+def _gather_k(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather along the beam axis: x (B, K, ...) + idx (B, K) -> (B, K, ...)."""
+    return jnp.take_along_axis(
+        x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+
+class BeamDecoder:
+    """Static beam-search program over an ASR model (attention required;
+    CTC and LM heads optional by weights)."""
+
+    def __init__(self, model: ASR, decode_cfg: Dict[str, Any],
+                 lm: Optional[RNNLM] = None):
+        assert model.enable_att, "beam decoder needs the attention decoder"
+        self.model = model
+        self.beam = int(decode_cfg.get("beam_size", 4))
+        self.min_len_ratio = float(decode_cfg.get("min_len_ratio", 0.0))
+        self.max_len_ratio = float(decode_cfg.get("max_len_ratio", 1.0))
+        self.lm_weight = float(decode_cfg.get("lm_weight", 0.0))
+        cw = decode_cfg.get("ctc_weight", 0.0)
+        self.ctc_weight = float(cw) if model.enable_ctc else 0.0
+        self.lm = lm if self.lm_weight > 0 else None
+        self.ctc_candidates = int(decode_cfg.get("ctc_candidates", 128))
+        self.use_ctc = self.ctc_weight > 0
+
+    # ------------------------------------------------------------------ run
+    def forward(self, p: ASRParams, feat: jnp.ndarray, feat_len: jnp.ndarray,
+                lm_params: Optional[RNNLMParams] = None) -> BeamOutput:
+        model, K = self.model, self.beam
+        V = model.vocab_size
+        enc, enc_len = model.encode(p, feat, feat_len)
+        B, T, _ = enc.shape
+        L = max(1, int(math.ceil(self.max_len_ratio * T)))
+
+        # fold hypotheses into the batch dim for the step networks
+        enc_rep = jnp.repeat(enc, K, axis=0)
+        len_rep = jnp.repeat(enc_len, K, axis=0)
+        cache, dec_state, align = model.init_decode(p, enc_rep, len_rep)
+
+        min_len = jnp.ceil(self.min_len_ratio * enc_len).astype(jnp.int32)
+        max_len = jnp.maximum(
+            jnp.ceil(self.max_len_ratio * enc_len).astype(jnp.int32), 1)
+
+        if self.use_ctc:
+            ctc_lp = ctc_prefix.pad_ctc_log_probs(
+                model.ctc_output(p, enc), enc_len)
+            r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
+        else:
+            ctc_lp = r_state = None
+            psi_prev = jnp.zeros((B, K))
+
+        use_lm = self.lm is not None
+        lm_state = self.lm.init_state(B * K) if use_lm else None
+
+        # candidate-set size for CTC scoring
+        C = V if (not self.use_ctc or V <= self.ctc_candidates) \
+            else self.ctc_candidates
+
+        carry = {
+            "tokens": jnp.zeros((B, K, L), jnp.int32),
+            "last": jnp.full((B, K), EOS_IDX, jnp.int32),  # sos
+            # only slot 0 is live at step 0 (all K slots start identical)
+            "valid": jnp.broadcast_to(jnp.arange(K)[None] == 0, (B, K)),
+            "cum_att": jnp.zeros((B, K)),
+            "cum_lm": jnp.zeros((B, K)),
+            "psi": psi_prev,
+            "r": r_state,
+            "dec_state": dec_state,
+            "align": align,
+            "lm_state": lm_state,
+            "fin_tokens": jnp.zeros((B, K, L), jnp.int32),
+            "fin_len": jnp.zeros((B, K), jnp.int32),
+            "fin_norm": jnp.full((B, K), NEG_INF),
+        }
+
+        aw, cw, lw = 1.0 - self.ctc_weight, self.ctc_weight, self.lm_weight
+
+        def step(carry, t):
+            logits, new_dec, new_align, _ = model.decode_step(
+                p, cache, carry["dec_state"], carry["align"],
+                carry["last"].reshape(B * K))
+            logp_att = jax.nn.log_softmax(logits, -1).reshape(B, K, V)
+
+            if use_lm:
+                lm_logits, new_lm = self.lm.step(
+                    lm_params, carry["lm_state"], carry["last"].reshape(B * K))
+                logp_lm = jax.nn.log_softmax(lm_logits, -1).reshape(B, K, V)
+            else:
+                new_lm = None
+                logp_lm = jnp.zeros((B, K, V))
+
+            base = aw * carry["cum_att"] + lw * carry["cum_lm"]    # (B, K)
+
+            # ---------------- eos / finalization scores
+            if self.use_ctc:
+                ctc_eos = ctc_prefix.final_score(carry["r"], None)
+            else:
+                ctc_eos = jnp.zeros((B, K))
+            tot_eos = (base + aw * logp_att[:, :, EOS_IDX]
+                       + cw * ctc_eos + lw * logp_lm[:, :, EOS_IDX])
+            n_tok = t  # tokens emitted so far
+            eos_ok = jnp.logical_and(
+                carry["valid"],
+                jnp.logical_or(n_tok + 1 >= min_len[:, None],
+                               n_tok + 1 >= max_len[:, None]))
+            tot_eos = jnp.where(eos_ok, tot_eos, NEG_INF)
+            norm_eos = tot_eos / jnp.maximum(n_tok + 1, 1).astype(jnp.float32)
+
+            # merge into finished set (keep top-K by normalized score)
+            all_norm = jnp.concatenate([carry["fin_norm"], norm_eos], axis=1)
+            all_len = jnp.concatenate(
+                [carry["fin_len"], jnp.full((B, K), n_tok, jnp.int32)], axis=1)
+            all_tok = jnp.concatenate([carry["fin_tokens"], carry["tokens"]],
+                                      axis=1)
+            fin_norm, fin_idx = jax.lax.top_k(all_norm, K)
+            fin_len = jnp.take_along_axis(all_len, fin_idx, axis=1)
+            fin_tokens = _gather_k(all_tok, fin_idx)
+
+            # ---------------- continuation scores
+            step_score = aw * logp_att + lw * logp_lm          # (B, K, V)
+            masked = step_score.at[:, :, EOS_IDX].set(NEG_INF)
+            masked = masked.at[:, :, PAD_IDX].set(NEG_INF)
+
+            if self.use_ctc:
+                if C < V:
+                    _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
+                else:
+                    cand = jnp.broadcast_to(
+                        jnp.arange(V)[None, None], (B, K, V))
+                psi, r_new = ctc_prefix.score_candidates(
+                    ctc_lp, carry["r"], carry["last"],
+                    jnp.full((B, K), t, jnp.int32), cand_ids=cand)
+                sc = jnp.take_along_axis(masked, cand, axis=2)
+                tot = base[:, :, None] + sc + cw * psi          # (B, K, C)
+            else:
+                cand = jnp.broadcast_to(jnp.arange(V)[None, None], (B, K, V))
+                tot = base[:, :, None] + masked
+                psi = r_new = None
+
+            nC = tot.shape[-1]
+            # stop expanding past per-utterance max_len; dead slots stay dead
+            alive = jnp.logical_and(carry["valid"],
+                                    n_tok < max_len[:, None])   # (B, K)
+            tot = jnp.where(alive[..., None], tot, NEG_INF)
+
+            flat = tot.reshape(B, K * nC)
+            top_tot, top_idx = jax.lax.top_k(flat, K)           # (B, K)
+            new_valid = top_tot > NEG_INF / 2
+            k_idx = top_idx // nC
+            c_idx = top_idx % nC
+            v_idx = jnp.take_along_axis(
+                _gather_k(cand, k_idx), c_idx[..., None], axis=2)[..., 0]
+
+            # gather hypothesis state
+            tokens = _gather_k(carry["tokens"], k_idx)
+            tokens = tokens.at[:, :, t].set(v_idx)
+            cum_att = (_gather_k(carry["cum_att"], k_idx)
+                       + jnp.take_along_axis(
+                           _gather_k(logp_att, k_idx),
+                           v_idx[..., None], axis=2)[..., 0])
+            cum_lm = (_gather_k(carry["cum_lm"], k_idx)
+                      + jnp.take_along_axis(
+                          _gather_k(logp_lm, k_idx),
+                          v_idx[..., None], axis=2)[..., 0])
+
+            flat_sel = (jnp.arange(B)[:, None] * K + k_idx).reshape(B * K)
+            new_dec_g = jax.tree_util.tree_map(
+                lambda x: x[:, flat_sel] if x.ndim >= 2 and x.shape[1] == B * K
+                else x, new_dec)
+            new_align_g = new_align[flat_sel]
+            new_lm_g = (jax.tree_util.tree_map(
+                lambda x: x[:, flat_sel] if x is not None else None, new_lm)
+                if use_lm else None)
+
+            out = {
+                "tokens": tokens,
+                "last": v_idx,
+                "valid": new_valid,
+                "cum_att": cum_att,
+                "cum_lm": cum_lm,
+                "dec_state": new_dec_g,
+                "align": new_align_g,
+                "lm_state": new_lm_g,
+                "fin_tokens": fin_tokens,
+                "fin_len": fin_len,
+                "fin_norm": fin_norm,
+            }
+            if self.use_ctc:
+                psi_g = jnp.take_along_axis(
+                    _gather_k(psi, k_idx), c_idx[..., None], axis=2)[..., 0]
+                r_g = jnp.take_along_axis(
+                    _gather_k(r_new, k_idx),
+                    c_idx[..., None, None, None], axis=2)[:, :, 0]
+                out["psi"] = psi_g
+                out["r"] = r_g
+            else:
+                out["psi"] = carry["psi"]
+                out["r"] = carry["r"]
+            return out, None
+
+        # L+1 steps: step t first offers finalization to length-t hypotheses,
+        # then expands to length t+1; the final step only finalizes (the
+        # expansion mask kills all continuations past max_len, and the
+        # token-write at index L is an out-of-bounds scatter no-op).
+        carry, _ = jax.lax.scan(step, carry, jnp.arange(L + 1))
+        return BeamOutput(carry["fin_tokens"], carry["fin_len"],
+                          carry["fin_norm"])

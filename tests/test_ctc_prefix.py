@@ -1,0 +1,124 @@
+"""CTC prefix scorer vs brute-force path enumeration on a tiny vocab
+(SURVEY.md section 4: 'CTC prefix score vs brute-force enumeration')."""
+import itertools
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.ops.ctc_prefix import (
+    pad_ctc_log_probs, init_state, score_candidates, final_score)
+
+BLANK = 0
+
+
+def _collapse(path):
+    out = []
+    prev = None
+    for s in path:
+        if s != prev and s != BLANK:
+            out.append(s)
+        prev = s
+    return tuple(out)
+
+
+def _brute_force(probs):
+    """probs (T, V) -> dict: prefix_prob[g] = P(output starts with g),
+    exact_prob[g] = P(output == g)."""
+    T, V = probs.shape
+    prefix, exact = {}, {}
+    for path in itertools.product(range(V), repeat=T):
+        p = float(np.prod([probs[t, s] for t, s in enumerate(path)]))
+        y = _collapse(path)
+        exact[y] = exact.get(y, 0.0) + p
+        for l in range(len(y) + 1):
+            g = y[:l]
+            prefix[g] = prefix.get(g, 0.0) + p
+    return prefix, exact
+
+
+def _scores(probs, beam=1):
+    """Run the vectorized scorer over growing prefixes; returns helpers."""
+    T, V = probs.shape
+    lp = jnp.log(jnp.asarray(probs))[None]           # (1, T, V)
+    lp = pad_ctc_log_probs(lp, jnp.array([T]))
+    return lp
+
+
+def test_prefix_scores_match_brute_force():
+    rng = np.random.RandomState(0)
+    T, V = 5, 3
+    probs = rng.dirichlet(np.ones(V), size=T)        # (T, V) rows sum to 1
+    pref_bf, exact_bf = _brute_force(probs)
+    lp = _scores(probs)
+
+    # empty prefix, first extensions
+    r, psi0 = init_state(lp, beam=1)
+    last = jnp.array([[BLANK]])                      # no last token
+    plen = jnp.array([[0]])
+    psi, r_new = score_candidates(lp, r, last, plen)
+    for c in range(1, V):
+        np.testing.assert_allclose(float(psi[0, 0, c]),
+                                   np.log(pref_bf.get((c,), 1e-300)),
+                                   rtol=1e-4)
+    # empty-prefix complete-sequence score = P(output == ())
+    np.testing.assert_allclose(float(final_score(r, plen)[0, 0]),
+                               np.log(exact_bf.get((), 1e-300)), rtol=1e-4)
+
+    # extend prefix (1,), then (1,2) and the repeat (1,1)
+    r1 = r_new[:, :, 1]                              # state of prefix (1,)
+    psi2, r_new2 = score_candidates(lp, r1, jnp.array([[1]]),
+                                    jnp.array([[1]]))
+    for c in range(1, V):
+        np.testing.assert_allclose(
+            float(psi2[0, 0, c]), np.log(pref_bf.get((1, c), 1e-300)),
+            rtol=1e-4, err_msg=f"prefix (1,{c})")
+    np.testing.assert_allclose(float(final_score(r1, None)[0, 0]),
+                               np.log(exact_bf.get((1,), 1e-300)), rtol=1e-4)
+
+    # depth 3 with a repeat: (1, 1, c)
+    r11 = r_new2[:, :, 1]
+    psi3, _ = score_candidates(lp, r11, jnp.array([[1]]), jnp.array([[2]]))
+    for c in range(1, V):
+        np.testing.assert_allclose(
+            float(psi3[0, 0, c]), np.log(pref_bf.get((1, 1, c), 1e-300)),
+            rtol=1e-4, err_msg=f"prefix (1,1,{c})")
+
+
+def test_padding_invariance():
+    """Scores must be identical whether computed at true length or padded."""
+    rng = np.random.RandomState(1)
+    T, V, PAD = 4, 3, 9
+    probs = rng.dirichlet(np.ones(V), size=T)
+    lp_short = pad_ctc_log_probs(jnp.log(jnp.asarray(probs))[None],
+                                 jnp.array([T]))
+    padded = np.concatenate([probs, rng.dirichlet(np.ones(V), size=PAD - T)])
+    lp_pad = pad_ctc_log_probs(jnp.log(jnp.asarray(padded))[None],
+                               jnp.array([T]))
+
+    r_s, _ = init_state(lp_short, 1)
+    r_p, _ = init_state(lp_pad, 1)
+    last, plen = jnp.array([[BLANK]]), jnp.array([[0]])
+    psi_s, _ = score_candidates(lp_short, r_s, last, plen)
+    psi_p, _ = score_candidates(lp_pad, r_p, last, plen)
+    np.testing.assert_allclose(np.asarray(psi_s)[..., 1:],
+                               np.asarray(psi_p)[..., 1:], rtol=1e-4)
+    np.testing.assert_allclose(float(final_score(r_s, plen)[0, 0]),
+                               float(final_score(r_p, plen)[0, 0]), rtol=1e-4)
+
+
+def test_batched_beam_shapes():
+    rng = np.random.RandomState(2)
+    B, K, T, V = 2, 3, 6, 4
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V)), -1)
+    lp = pad_ctc_log_probs(lp, jnp.array([6, 4]))
+    r, psi0 = init_state(lp, K)
+    assert r.shape == (B, K, T, 2)
+    psi, r_new = score_candidates(lp, r, jnp.zeros((B, K), jnp.int32),
+                                  jnp.zeros((B, K), jnp.int32))
+    assert psi.shape == (B, K, V)
+    assert r_new.shape == (B, K, V, T, 2)
+    assert np.all(np.asarray(psi)[:, :, 0] < -1e29)  # blank ext invalid
