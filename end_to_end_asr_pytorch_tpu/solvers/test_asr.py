@@ -1,0 +1,156 @@
+"""Decode solver: batched on-device beam search over the test set.
+
+Capability parity with the reference's ``bin/test_asr.py`` (SURVEY.md 2.6):
+builds a BeamDecoder from the ``decode:`` config block, loads an RNN-LM for
+shallow fusion when ``lm_weight > 0``, decodes dev+test splits, writes
+``output.csv`` (best hypothesis per utterance, ``idx\\thyp\\ttruth``) and the
+full n-best ``beam.csv``, and reports WER/CER.
+
+TPU-first: where the reference forces batch_size=1 and fans utterances out
+to ``joblib`` CPU processes (its decode bottleneck, SURVEY.md 3.2), decoding
+here is BATCHED inside one jitted program per bucket shape — the >=10x
+throughput path. ``--njobs`` is accepted but means host loader workers only.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import BaseSolver
+from ..config import load_config
+from ..data.dataset import load_dataset
+from ..decode.beam import BeamDecoder
+from ..decode.greedy import ctc_greedy
+from ..models.asr import ASR
+from ..models.lm import RNNLM
+from ..ops.audio import create_transform
+from ..parallel import mesh as pmesh
+from ..utils.checkpoint import load_checkpoint
+
+
+class Solver(BaseSolver):
+    def __init__(self, config, paras, mode="test"):
+        super().__init__(config, paras, mode)
+        self.decode_cfg = dict(config.get("decode", {}))
+        self.lm_weight = float(self.decode_cfg.get("lm_weight", 0.0))
+
+    def load_data(self):
+        (self.dv_set, self.tt_set, self.feat_dim, self.vocab_size,
+         self.tokenizer, msg) = load_dataset(
+            self.paras.njobs, True, False, False, mode="test",
+            **self.config["data"])
+        self.verbose(msg)
+
+    def set_model(self):
+        self.frontend, _ = create_transform(self.config["data"]["audio"])
+        self.model = ASR(self.feat_dim, self.vocab_size, self.config["model"])
+        self.params = self.model.init(jax.random.PRNGKey(self.paras.seed))
+        if self.paras.load:
+            ck = load_checkpoint(self.paras.load, self.params)
+            self.params = ck["model"]
+            self.verbose(f"Loaded ASR ckpt {self.paras.load} "
+                         f"@ step {ck['global_step']}")
+
+        self.lm = None
+        self.lm_params = None
+        if self.lm_weight > 0:
+            lm_cfg = load_config(self.decode_cfg["lm_config"])
+            self.lm = RNNLM(self.vocab_size, lm_cfg["model"])
+            self.lm_params = self.lm.init(jax.random.PRNGKey(0))
+            ck = load_checkpoint(self.decode_cfg["lm_path"], self.lm_params)
+            self.lm_params = ck["model"]
+            self.verbose(f"Loaded LM ckpt for shallow fusion "
+                         f"(weight {self.lm_weight})")
+
+        if self.model.enable_att:
+            self.decoder = BeamDecoder(self.model, self.decode_cfg, self.lm)
+            self._decode = jax.jit(
+                lambda p, lp, w, wl: self.decoder.forward(
+                    p, *self.frontend(w, wl), lm_params=lp))
+        else:
+            self.decoder = None  # CTC-only: greedy best-path
+
+            def ctc_decode(p, w, wl):
+                feat, feat_len = self.frontend(w, wl)
+                enc, enc_len = self.model.encode(p, feat, feat_len)
+                return ctc_greedy(self.model.ctc_output(p, enc)), enc_len
+
+            self._decode = jax.jit(ctc_decode)
+
+    def exec(self):
+        for name, dataset in (("dev", self.dv_set), ("test", self.tt_set)):
+            self._decode_set(name, dataset)
+
+    def _decode_set(self, split_name: str, dataset):
+        hyps, refs, names, nbest_rows = [], [], [], []
+        n_utts = 0
+        t0 = time.time()
+        for batch in dataset:
+            out = self._run_batch(batch)
+            B = len(batch["name"])
+            for i in range(B):
+                if batch["text_len"][i] == 0:
+                    continue
+                names.append(batch["name"][i])
+                refs.append(batch["text_raw"][i])
+                hyps.append(out["best"][i])
+                for k, (h, s) in enumerate(out["nbest"][i]):
+                    nbest_rows.append(
+                        f"{batch['name'][i]}\t{k}\t{s:.4f}\t{h}")
+                n_utts += 1
+        dt = time.time() - t0
+        wer = self._er(hyps, refs, "wer")
+        cer = self._er(hyps, refs, "cer")
+        out_file = self.outdir / f"{split_name}_output.csv"
+        with open(out_file, "w", encoding="utf-8") as f:
+            f.write("idx\thyp\ttruth\n")
+            for n, h, r in zip(names, hyps, refs):
+                f.write(f"{n}\t{h}\t{r}\n")
+        with open(self.outdir / f"{split_name}_beam.csv", "w",
+                  encoding="utf-8") as f:
+            f.write("idx\trank\tscore\thyp\n")
+            f.write("\n".join(nbest_rows) + "\n")
+        self.verbose(
+            f"{split_name}: {n_utts} utts | WER {wer:.3f} | CER {cer:.3f} | "
+            f"{n_utts / dt:.2f} utts/sec | RTF-inverse see bench.py | "
+            f"wrote {out_file}")
+        return {"wer": wer, "cer": cer, "utts_per_sec": n_utts / dt}
+
+    def _er(self, hyps, refs, mode):
+        from ..utils.metrics import edit_distance
+        ers = []
+        for h, r in zip(hyps, refs):
+            hs, rs = (h.split(), r.split()) if mode == "wer" else (list(h),
+                                                                   list(r))
+            if rs:
+                ers.append(edit_distance(hs, rs) / len(rs))
+        return float(np.mean(ers)) if ers else 0.0
+
+    def _run_batch(self, batch):
+        wave = jnp.asarray(batch["wave"])
+        wave_len = jnp.asarray(batch["wave_len"])
+        B = wave.shape[0]
+        if self.decoder is not None:
+            out = self._decode(self.params, self.lm_params, wave, wave_len)
+            tokens = np.asarray(out.tokens)
+            lengths = np.asarray(out.lengths)
+            scores = np.asarray(out.scores)
+            best, nbest = [], []
+            for i in range(B):
+                cands = []
+                for k in range(tokens.shape[1]):
+                    ids = tokens[i, k, :lengths[i, k]].tolist()
+                    cands.append((self.tokenizer.decode(ids),
+                                  float(scores[i, k])))
+                best.append(cands[0][0])
+                nbest.append(cands)
+            return {"best": best, "nbest": nbest}
+        ids, enc_len = self._decode(self.params, wave, wave_len)
+        ids, enc_len = np.asarray(ids), np.asarray(enc_len)
+        best = [self.tokenizer.decode(ids[i, :enc_len[i]].tolist(),
+                                      ignore_repeat=True) for i in range(B)]
+        return {"best": best, "nbest": [[(b, 0.0)] for b in best]}
