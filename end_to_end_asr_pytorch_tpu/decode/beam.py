@@ -49,9 +49,12 @@ class BeamDecoder:
     CTC and LM heads optional by weights)."""
 
     def __init__(self, model: ASR, decode_cfg: Dict[str, Any],
-                 lm: Optional[RNNLM] = None):
+                 lm: Optional[RNNLM] = None, plugin=None):
         assert model.enable_att, "beam decoder needs the attention decoder"
         self.model = model
+        # emb_decoder fused decoding (SURVEY.md 2.18)
+        self.plugin = plugin if (plugin is not None
+                                 and plugin.apply_fuse) else None
         self.beam = int(decode_cfg.get("beam_size", 4))
         self.min_len_ratio = float(decode_cfg.get("min_len_ratio", 0.0))
         self.max_len_ratio = float(decode_cfg.get("max_len_ratio", 1.0))
@@ -64,7 +67,8 @@ class BeamDecoder:
 
     # ------------------------------------------------------------------ run
     def forward(self, p: ASRParams, feat: jnp.ndarray, feat_len: jnp.ndarray,
-                lm_params: Optional[RNNLMParams] = None) -> BeamOutput:
+                lm_params: Optional[RNNLMParams] = None,
+                plugin_params=None) -> BeamOutput:
         model, K = self.model, self.beam
         V = model.vocab_size
         enc, enc_len = model.encode(p, feat, feat_len)
@@ -118,7 +122,11 @@ class BeamDecoder:
             logits, new_dec, new_align, _ = model.decode_step(
                 p, cache, carry["dec_state"], carry["align"],
                 carry["last"].reshape(B * K))
-            logp_att = jax.nn.log_softmax(logits, -1).reshape(B, K, V)
+            if self.plugin is not None:
+                logp_att = self.plugin.fused_log_prob(
+                    plugin_params, new_dec.h[-1], logits).reshape(B, K, V)
+            else:
+                logp_att = jax.nn.log_softmax(logits, -1).reshape(B, K, V)
 
             if use_lm:
                 lm_logits, new_lm = self.lm.step(

@@ -131,12 +131,14 @@ class ASR:
     # ------------------------------------------------------------- forward
     def forward(self, p: ASRParams, feat, feat_len, decode_step: int,
                 tf_rate: float = 1.0, teacher: Optional[jnp.ndarray] = None,
-                *, train: bool = False, rng=None):
+                *, train: bool = False, rng=None, get_dec_state: bool = False):
         """Mirror of reference ASR.forward (SURVEY.md 3.4).
 
         Returns (ctc_output (B,T',V) | None, encode_len (B,),
                  att_output (B,U,V) | None, att_align (B,U,H,T') | None,
-                 dec_state (B,dec_dim) | None).
+                 dec_state | None). ``dec_state`` is the per-step decoder
+        outputs (B,U,dec_dim) when ``get_dec_state`` (for the embedding
+        plugin, SURVEY.md 2.18), else the final top-layer hidden (B,dec_dim).
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -168,12 +170,14 @@ class ASR:
                     p, cache, state, align, prev_tok,
                     train=train, rng=srng if train else None)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (state, align, pred), (logits, align)
+                return (state, align, pred), (logits, align,
+                                              self.decoder.query(state))
 
             ts = jnp.arange(decode_step)
-            (state, align, _), (att_out, att_align) = jax.lax.scan(
+            (state, align, _), (att_out, att_align, dec_outs) = jax.lax.scan(
                 scan_step, (state, align, sos), (ts, coins, step_rngs))
             att_out = jnp.swapaxes(att_out, 0, 1)        # (B, U, V)
             att_align = jnp.swapaxes(att_align, 0, 1)    # (B, U, H, T')
-            dec_state = self.decoder.query(state)
+            dec_state = (jnp.swapaxes(dec_outs, 0, 1) if get_dec_state
+                         else self.decoder.query(state))
         return ctc_out, enc_len, att_out, att_align, dec_state

@@ -49,9 +49,24 @@ class Solver(BaseSolver):
         self.frontend, _ = create_transform(self.config["data"]["audio"])
         self.model = ASR(self.feat_dim, self.vocab_size, self.config["model"])
         self.params = self.model.init(jax.random.PRNGKey(self.paras.seed))
+        plugin_cfg = self.config["model"].get("plugin")
+        self.plugin = None
+        self.plugin_params = None
+        template = self.params
+        if plugin_cfg and plugin_cfg.get("enabled", True):
+            from ..models.plugin import EmbeddingRegularizer
+            self.plugin = EmbeddingRegularizer(plugin_cfg, self.vocab_size,
+                                               self.model.dec_dim)
+            self.plugin_params = self.plugin.init(jax.random.PRNGKey(7))
+            template = {"asr": self.params, "plugin": self.plugin_params}
         if self.paras.load:
-            ck = load_checkpoint(self.paras.load, self.params)
-            self.params = ck["model"]
+            ck = load_checkpoint(self.paras.load, template)
+            loaded = ck["model"]
+            if self.plugin is not None:
+                self.params = loaded["asr"]
+                self.plugin_params = loaded["plugin"]
+            else:
+                self.params = loaded
             self.verbose(f"Loaded ASR ckpt {self.paras.load} "
                          f"@ step {ck['global_step']}")
 
@@ -67,10 +82,13 @@ class Solver(BaseSolver):
                          f"(weight {self.lm_weight})")
 
         if self.model.enable_att:
-            self.decoder = BeamDecoder(self.model, self.decode_cfg, self.lm)
+            self.decoder = BeamDecoder(self.model, self.decode_cfg, self.lm,
+                                       plugin=self.plugin)
+            pp = self.plugin_params
             self._decode = jax.jit(
                 lambda p, lp, w, wl: self.decoder.forward(
-                    p, *self.frontend(w, wl), lm_params=lp))
+                    p, *self.frontend(w, wl), lm_params=lp,
+                    plugin_params=pp))
         else:
             self.decoder = None  # CTC-only: greedy best-path
 

@@ -75,7 +75,18 @@ class Solver(BaseSolver):
         self.model = ASR(self.feat_dim, self.vocab_size, self.config["model"])
         self.ctc_weight = self.model.ctc_weight
         rng = jax.random.PRNGKey(self.paras.seed)
-        self.params = self.model.init(rng)
+        asr_params = self.model.init(rng)
+        plugin_cfg = self.config["model"].get("plugin")
+        if plugin_cfg and plugin_cfg.get("enabled", True):
+            from ..models.plugin import EmbeddingRegularizer
+            self.plugin = EmbeddingRegularizer(plugin_cfg, self.vocab_size,
+                                               self.model.dec_dim)
+            self.params = {"asr": asr_params,
+                           "plugin": self.plugin.init(
+                               jax.random.PRNGKey(self.paras.seed + 7))}
+        else:
+            self.plugin = None
+            self.params = asr_params
         self.optimizer = Optimizer(self.config["hparas"],
                                    grad_clip=self.GRAD_CLIP)
         self.opt_state = self.optimizer.init(self.params)
@@ -99,17 +110,20 @@ class Solver(BaseSolver):
         self._build_steps()
 
     def _build_steps(self):
-        model, frontend = self.model, self.frontend
+        model, frontend, plugin = self.model, self.frontend, self.plugin
         ctc_w, tx = self.ctc_weight, self.optimizer.tx
 
         def train_step(params, opt_state, wave, wave_len, text, text_len,
                        tf_rate, rng):
             def loss_fn(p):
+                asr_p = p["asr"] if plugin is not None else p
                 feat, feat_len = frontend(wave, wave_len)
                 U = text.shape[1]
-                ctc_out, enc_len, att_out, att_align, _ = model.forward(
-                    p, feat, feat_len, U, tf_rate, teacher=text,
-                    train=True, rng=rng)
+                ctc_out, enc_len, att_out, att_align, dec_states = \
+                    model.forward(
+                        asr_p, feat, feat_len, U, tf_rate, teacher=text,
+                        train=True, rng=rng,
+                        get_dec_state=plugin is not None)
                 valid = (text_len > 0)
                 n_valid = jnp.maximum(jnp.sum(valid), 1)
                 metrics = {}
@@ -124,6 +138,10 @@ class Solver(BaseSolver):
                     att_l = masked_ce(att_out, text)
                     total = total + (1.0 - ctc_w) * att_l
                     metrics["att_loss"] = att_l
+                if plugin is not None:
+                    emb_l = plugin.loss(p["plugin"], dec_states, text)
+                    total = total + emb_l
+                    metrics["emb_loss"] = emb_l
                 metrics["loss"] = total
                 return total, metrics
 
@@ -161,6 +179,9 @@ class Solver(BaseSolver):
             return out
 
         self._valid_step = jax.jit(valid_step)
+
+    def _asr_params(self):
+        return self.params["asr"] if self.plugin is not None else self.params
 
     # ----------------------------------------------------------------- exec
     def exec(self):
@@ -214,8 +235,8 @@ class Solver(BaseSolver):
         for batch in self.dv_set:
             batch = pmesh.pad_batch_to(batch, self.n_dev)
             sb = pmesh.shard_batch(self.mesh, batch)
-            out = self._valid_step(self.params, sb["wave"], sb["wave_len"],
-                                   sb["text"], sb["text_len"])
+            out = self._valid_step(self._asr_params(), sb["wave"],
+                                   sb["wave_len"], sb["text"], sb["text_len"])
             out = jax.device_get(out)
             n_real = int(np.sum(batch["text_len"] > 0))
             truth = batch["text"][:n_real]
