@@ -129,6 +129,15 @@ class AudioFrontend:
         self.feat_dim = self.num_feat * (1 + self.delta_order)
         self._dfilt = jnp.asarray(delta_filter(self.delta_window))
 
+        # fused Pallas fast path (TPU, fbank, 80-divisible geometry)
+        use_pallas = audio_cfg.get("use_pallas", "auto")
+        if use_pallas == "auto":
+            import jax as _jax
+            use_pallas = (self.feat_type == "fbank"
+                          and self.n_fft % 80 == 0 and self.hop % 80 == 0
+                          and _jax.default_backend() not in ("cpu",))
+        self.use_pallas = bool(use_pallas)
+
     # -- shape helpers (host side, static) --------------------------------
     def num_frames(self, num_samples: int) -> int:
         """Frame count with center=True padding: floor(S/hop) + 1."""
@@ -176,6 +185,12 @@ class AudioFrontend:
         return jnp.where(mask, (feat - mean) * jax.lax.rsqrt(var + 1e-10), 0.0)
 
     def __call__(self, waveform: jnp.ndarray, wave_len: jnp.ndarray):
+        if self.use_pallas and self.feat_type == "fbank":
+            from .pallas.fbank_kernel import fbank_fused
+            feat = fbank_fused(waveform, self._cos, self._msin, self._mel,
+                               n_fft=self.n_fft, hop=self.hop,
+                               log_eps=LOG_EPS)
+            return self._postprocess(feat, waveform, wave_len)
         frames = self._frame(waveform)
         spec = self._power_spec(frames)
         if self.feat_type == "fbank":
@@ -192,6 +207,10 @@ class AudioFrontend:
             feat = jnp.log(spec + LOG_EPS)
         else:
             raise NotImplementedError(self.feat_type)
+        return self._postprocess(feat, waveform, wave_len)
+
+    def _postprocess(self, feat, waveform, wave_len):
+        """Shared tail: lengths, deltas, CMVN / pad-zeroing."""
         feat_len = (wave_len // self.hop + 1).astype(jnp.int32)
         T = feat.shape[1]
         feat_len = jnp.minimum(feat_len, T)
