@@ -112,6 +112,15 @@ class Solver(BaseSolver):
     def _build_steps(self):
         model, frontend, plugin = self.model, self.frontend, self.plugin
         ctc_w, tx = self.ctc_weight, self.optimizer.tx
+        # fused Pallas CTC forward-backward on TPU; jnp scan elsewhere
+        use_pallas = self.config["hparas"].get("use_pallas_ctc", "auto")
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() not in ("cpu",)
+        if use_pallas:
+            from ..ops.pallas.ctc_kernel import ctc_loss_pallas
+            ctc_loss_fn = ctc_loss_pallas
+        else:
+            ctc_loss_fn = ctc_loss
 
         def train_step(params, opt_state, wave, wave_len, text, text_len,
                        tf_rate, rng):
@@ -129,7 +138,7 @@ class Solver(BaseSolver):
                 metrics = {}
                 total = 0.0
                 if ctc_out is not None:
-                    nll = ctc_loss(ctc_out, enc_len, text, text_len)
+                    nll = ctc_loss_fn(ctc_out, enc_len, text, text_len)
                     per = nll / jnp.maximum(text_len, 1)
                     ctc_l = jnp.sum(jnp.where(valid, per, 0.0)) / n_valid
                     total = total + ctc_w * ctc_l

@@ -1,0 +1,54 @@
+"""Pallas CTC forward-backward kernel vs the jnp scan reference (interpret
+mode on CPU; compiled parity is exercised on real TPU by the solvers)."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.ops.ctc import ctc_loss
+from end_to_end_asr_pytorch_tpu.ops.pallas.ctc_kernel import ctc_loss_pallas
+
+
+def _case(seed=0, B=3, T=12, V=6, U=5):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(B, T, V).astype(np.float32)
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    logit_lens = jnp.array([T, T - 3, T - 5][:B], jnp.int32)
+    labels = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    label_lens = np.array([U, U - 2, U - 3][:B], np.int32)
+    for b in range(B):
+        labels[b, label_lens[b]:] = 0
+    return lp, logit_lens, jnp.asarray(labels), jnp.asarray(label_lens)
+
+
+def test_pallas_ctc_matches_scan():
+    lp, ll, lab, lal = _case(seed=2)
+    ref = np.asarray(ctc_loss(lp, ll, lab, lal))
+    got = np.asarray(ctc_loss_pallas(lp, ll, lab, lal, 0, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_ctc_grad_matches_scan():
+    lp, ll, lab, lal = _case(seed=3)
+    gref = jax.grad(lambda x: jnp.sum(ctc_loss(x, ll, lab, lal)))(lp)
+    ggot = jax.grad(
+        lambda x: jnp.sum(ctc_loss_pallas(x, ll, lab, lal, 0, True)))(lp)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_ctc_repeated_labels_and_batch_pad():
+    # B=3 forces batch-tile padding (BT=8 > 3); repeats exercise skip mask
+    lp = jax.nn.log_softmax(
+        jnp.asarray(np.random.RandomState(4).randn(3, 10, 5), jnp.float32), -1)
+    labels = jnp.asarray([[1, 1, 2, 2], [3, 3, 3, 0], [4, 0, 0, 0]], jnp.int32)
+    label_lens = jnp.asarray([4, 3, 1], jnp.int32)
+    logit_lens = jnp.asarray([10, 9, 6], jnp.int32)
+    ref = np.asarray(ctc_loss(lp, logit_lens, labels, label_lens))
+    got = np.asarray(ctc_loss_pallas(lp, logit_lens, labels, label_lens,
+                                     0, True))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
