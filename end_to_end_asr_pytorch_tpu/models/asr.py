@@ -92,7 +92,8 @@ class ASR:
     def ctc_output(self, p: ASRParams, enc: jnp.ndarray) -> jnp.ndarray:
         logits = jnp.dot(enc, p.ctc_w,
                          preferred_element_type=jnp.float32) + p.ctc_b
-        return jax.nn.log_softmax(logits, axis=-1)
+        # CTC lattice numerics stay float32 even under bf16 (--amp) compute
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     # ---------------------------------------------------------- att decode
     def init_decode(self, p: ASRParams, enc, enc_len

@@ -94,14 +94,15 @@ class Attention:
         vals = (jnp.dot(enc, p.w_v, preferred_element_type=jnp.float32)
                 if p.w_v is not None else enc)
         mask = jnp.arange(T)[None, :] < enc_len[:, None]
-        inv_len = 1.0 / jnp.maximum(enc_len, 1).astype(enc.dtype)
+        inv_len = 1.0 / jnp.maximum(enc_len, 1).astype(jnp.float32)
         return AttCache(keys, vals, mask, inv_len[:, None])
 
     def init_align(self, cache: AttCache) -> jnp.ndarray:
-        """Alignment 'before step 0': uniform over valid frames (B, H, T)."""
+        """Alignment 'before step 0': uniform over valid frames (B, H, T).
+        Always float32 — the alignment is a scan carry and softmax output."""
         B, H, T, _ = cache.keys.shape
         uni = jnp.where(cache.mask[:, None, :], cache.inv_len[:, :, None], 0.0)
-        return jnp.broadcast_to(uni, (B, H, T))
+        return jnp.broadcast_to(uni, (B, H, T)).astype(jnp.float32)
 
     def step(self, p: AttentionParams, cache: AttCache, query: jnp.ndarray,
              prev_align: jnp.ndarray):
@@ -117,7 +118,8 @@ class Attention:
         else:
             a = jnp.sum(prev_align, axis=1)[:, :, None]           # (B, T, 1)
             f = jax.lax.conv_general_dilated(
-                a, p.loc_conv, window_strides=(1,), padding="SAME",
+                a.astype(p.loc_conv.dtype), p.loc_conv,
+                window_strides=(1,), padding="SAME",
                 dimension_numbers=("NWC", "WIO", "NWC"))          # (B, T, F)
             f = jnp.dot(f, p.w_f, preferred_element_type=jnp.float32)
             qb = q + p.bias.reshape(H, d)[None]

@@ -67,7 +67,9 @@ def lstm_cell(w: LSTMWeights, h: jnp.ndarray, c: jnp.ndarray,
                   gates[..., 2 * H:3 * H], gates[..., 3 * H:])
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-    return h_new, c_new
+    # keep the recurrent carry dtype stable under bf16 compute (gate math
+    # accumulates in f32 via preferred_element_type, then casts back)
+    return h_new.astype(h.dtype), c_new.astype(c.dtype)
 
 
 def gru_cell(w: GRUWeights, h: jnp.ndarray, x_proj: jnp.ndarray) -> jnp.ndarray:
@@ -77,7 +79,7 @@ def gru_cell(w: GRUWeights, h: jnp.ndarray, x_proj: jnp.ndarray) -> jnp.ndarray:
     r = jax.nn.sigmoid(x_proj[..., :H] + h_proj[..., :H])
     z = jax.nn.sigmoid(x_proj[..., H:2 * H] + h_proj[..., H:2 * H])
     n = jnp.tanh(x_proj[..., 2 * H:] + r * h_proj[..., 2 * H:])
-    return (1.0 - z) * n + z * h
+    return ((1.0 - z) * n + z * h).astype(h.dtype)
 
 
 def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
@@ -102,7 +104,7 @@ def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
         m = m[:, None]
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
-        return (h, c), jnp.where(m, h_new, 0.0)
+        return (h, c), jnp.where(m, h_new, jnp.zeros((), h.dtype))
 
     _, ys = jax.lax.scan(step, (h0, c0), (x_proj, mask), reverse=reverse)
     return ys
@@ -122,7 +124,7 @@ def gru_scan(w: GRUWeights, x: jnp.ndarray, mask: jnp.ndarray,
         h_new = gru_cell(w, h, xp)
         m = m[:, None]
         h = jnp.where(m, h_new, h)
-        return h, jnp.where(m, h_new, 0.0)
+        return h, jnp.where(m, h_new, jnp.zeros((), h.dtype))
 
     _, ys = jax.lax.scan(step, h0, (x_proj, mask), reverse=reverse)
     return ys

@@ -121,18 +121,37 @@ class Solver(BaseSolver):
             ctc_loss_fn = ctc_loss_pallas
         else:
             ctc_loss_fn = ctc_loss
+        # --amp: bfloat16 model compute (MXU fast path); losses, CTC lattice
+        # and the optimizer state stay float32 (reference's apex AMP analog)
+        amp = bool(getattr(self.paras, "amp", False)
+                   or self.config["hparas"].get("amp", False))
+
+        def _cast_bf16(tree):
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, tree)
 
         def train_step(params, opt_state, wave, wave_len, text, text_len,
                        tf_rate, rng):
             def loss_fn(p):
                 asr_p = p["asr"] if plugin is not None else p
                 feat, feat_len = frontend(wave, wave_len)
+                if amp:
+                    asr_p = _cast_bf16(asr_p)
+                    feat = feat.astype(jnp.bfloat16)
                 U = text.shape[1]
                 ctc_out, enc_len, att_out, att_align, dec_states = \
                     model.forward(
                         asr_p, feat, feat_len, U, tf_rate, teacher=text,
                         train=True, rng=rng,
                         get_dec_state=plugin is not None)
+                if amp:
+                    ctc_out = (ctc_out.astype(jnp.float32)
+                               if ctc_out is not None else None)
+                    att_out = (att_out.astype(jnp.float32)
+                               if att_out is not None else None)
+                    dec_states = (dec_states.astype(jnp.float32)
+                                  if dec_states is not None else None)
                 valid = (text_len > 0)
                 n_valid = jnp.maximum(jnp.sum(valid), 1)
                 metrics = {}
