@@ -1,0 +1,28 @@
+"""CLI: generate the synthetic tone corpus (LibriSpeech layout).
+
+  python -m end_to_end_asr_pytorch_tpu.data.make_synthetic \
+      --out data/synth [--n_train 512 --n_dev 64 --n_test 64 --seed 0]
+"""
+import argparse
+
+from .synthetic import generate_corpus
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n_train", type=int, default=512)
+    ap.add_argument("--n_dev", type=int, default=64)
+    ap.add_argument("--n_test", type=int, default=64)
+    ap.add_argument("--min_words", type=int, default=1)
+    ap.add_argument("--max_words", type=int, default=3)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    root = generate_corpus(args.out, args.n_train, args.n_dev, args.n_test,
+                           args.seed, args.min_words, args.max_words)
+    print(f"synthetic corpus at {root} "
+          f"({args.n_train}/{args.n_dev}/{args.n_test} utts)")
+
+
+if __name__ == "__main__":
+    main()
