@@ -19,6 +19,8 @@ TPU-first differences from the reference's DataLoader design:
 from __future__ import annotations
 
 import math
+import queue
+import threading
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -41,9 +43,10 @@ class AudioBatchLoader:
     def __init__(self, dataset: LibriDataset, batch_size: int,
                  frame_quantum: int = 64, text_quantum: int = 16,
                  shuffle: bool = True, ascending: bool = False,
-                 seed: int = 0, cache_waves: bool = True):
+                 seed: int = 0, cache_waves: bool = True, n_jobs: int = 0):
         self.ds = dataset
         self.batch_size = batch_size
+        self.n_jobs = n_jobs
         self.frame_quantum = frame_quantum
         self.text_quantum = text_quantum
         self.shuffle = shuffle and not ascending
@@ -100,12 +103,33 @@ class AudioBatchLoader:
     def epoch_iter(self, shuffle: Optional[bool] = None
                    ) -> Iterator[Dict[str, Any]]:
         """One epoch; shuffle=False yields length-ascending order (curriculum,
-        reference SURVEY.md 2.4)."""
+        reference SURVEY.md 2.4). With n_jobs > 0, batches are assembled by a
+        background thread so audio decode overlaps device compute (the TPU
+        analog of the reference's DataLoader worker processes)."""
         order = list(range(len(self.batches)))
         if self.shuffle if shuffle is None else shuffle:
             self.rng.shuffle(order)
-        for bi in order:
-            yield self.make_batch(self.batches[bi])
+        if self.n_jobs <= 0:
+            for bi in order:
+                yield self.make_batch(self.batches[bi])
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=max(2, self.n_jobs * 2))
+        stop = object()
+
+        def worker():
+            try:
+                for bi in order:
+                    q.put(self.make_batch(self.batches[bi]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         return self.epoch_iter()
@@ -171,7 +195,8 @@ def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
         tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
         dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
         tr_set = AudioBatchLoader(tr_ds, bs, frame_quantum=frame_quantum,
-                                  shuffle=not ascending, ascending=ascending)
+                                  shuffle=not ascending, ascending=ascending,
+                                  n_jobs=n_jobs)
         dv_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
                                   shuffle=False)
     else:

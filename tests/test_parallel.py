@@ -1,0 +1,110 @@
+"""Data-parallel correctness: the sharded 8-device train step must produce
+the same loss and updated params as the single-device step (XLA's inserted
+psum == explicit sum), plus optimizer/scheduler unit checks."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.models.asr import ASR
+from end_to_end_asr_pytorch_tpu.ops.ctc import ctc_loss
+from end_to_end_asr_pytorch_tpu.optim import Optimizer, _warmup_schedule
+from end_to_end_asr_pytorch_tpu.parallel import mesh as pmesh
+from end_to_end_asr_pytorch_tpu.solvers.train_asr import masked_ce
+
+V = 15
+
+
+def _setup():
+    cfg = {
+        "ctc_weight": 0.5,
+        "encoder": {"prenet": "", "module": "LSTM", "bidirection": True,
+                    "dim": [16], "sample_rate": [2], "sample_style": "drop"},
+        "attention": {"mode": "dot", "dim": 8, "num_head": 1},
+        "decoder": {"module": "LSTM", "dim": 16, "layer": 1},
+    }
+    model = ASR(8, V, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = Optimizer({"optimizer": "Adam", "lr": 1e-3})
+    return model, params, opt
+
+
+def _step_fn(model, opt):
+    def step(params, opt_state, feat, feat_len, text, text_len):
+        def loss_fn(p):
+            ctc_out, enc_len, att_out, _, _ = model.forward(
+                p, feat, feat_len, text.shape[1], 1.0, teacher=text)
+            nll = ctc_loss(ctc_out, enc_len, text, text_len)
+            return (0.5 * jnp.mean(nll / jnp.maximum(text_len, 1))
+                    + 0.5 * masked_ce(att_out, text))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+    return step
+
+
+def test_sharded_step_matches_single_device():
+    model, params, opt = _setup()
+    opt_state = opt.init(params)
+    B, T, U = 8, 16, 8
+    rng = np.random.RandomState(0)
+    feat = rng.randn(B, T, 8).astype(np.float32)
+    feat_len = np.full((B,), T, np.int32)
+    text = rng.randint(2, V, (B, U)).astype(np.int32)
+    text_len = np.full((B,), U, np.int32)
+    step = _step_fn(model, opt)
+
+    # single device
+    p1, o1, l1 = jax.jit(step)(params, opt_state, feat, feat_len, text,
+                               text_len)
+
+    # 8-device mesh, batch sharded, params replicated
+    mesh = pmesh.make_mesh(8)
+    params_r = pmesh.replicate_tree(mesh, params)
+    opt_r = pmesh.replicate_tree(mesh, opt_state)
+    batch = pmesh.shard_batch(mesh, {"feat": feat, "feat_len": feat_len,
+                                     "text": text, "text_len": text_len})
+    p8, o8, l8 = jax.jit(step)(params_r, opt_r, batch["feat"],
+                               batch["feat_len"], batch["text"],
+                               batch["text_len"])
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pad_batch_to():
+    batch = {"wave": np.ones((5, 4), np.float32),
+             "text_len": np.array([3, 3, 3, 3, 3], np.int32),
+             "name": ["a"] * 5}
+    out = pmesh.pad_batch_to(batch, 8)
+    assert out["wave"].shape[0] == 8
+    assert (out["text_len"][5:] == 0).all()
+    assert out["name"] == batch["name"]
+
+
+def test_warmup_schedule():
+    sched = _warmup_schedule(1.0, warmup_step=100)
+    peak = float(sched(100))
+    np.testing.assert_allclose(peak, 1.0, rtol=1e-5)
+    assert float(sched(10)) < peak
+    assert float(sched(400)) == float(np.sqrt(100 / 400))
+
+
+def test_nan_grad_skips_step():
+    opt = Optimizer({"optimizer": "Adam", "lr": 1e-2})
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    bad = {"w": jnp.full((3,), jnp.nan)}
+    new_params, state = opt.step(bad, state, params)
+    np.testing.assert_array_equal(np.asarray(new_params["w"]),
+                                  np.ones(3))  # step skipped
+    good = {"w": jnp.ones((3,))}
+    new_params, state = opt.step(good, state, new_params)
+    assert not np.allclose(np.asarray(new_params["w"]), np.ones(3))
