@@ -28,7 +28,7 @@ class BaseSolver:
         for k, v in merge_hparas(config.get("hparas", {})).items():
             setattr(self, k, v)
 
-        name = Path(paras.config).stem
+        name = getattr(paras, "name", None) or Path(paras.config).stem
         self.exp_name = f"{name}_sd{paras.seed}"
         self.logdir = Path(paras.logdir) / self.exp_name
         self.ckpdir = Path(paras.ckpdir) / self.exp_name
