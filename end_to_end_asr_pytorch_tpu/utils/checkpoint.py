@@ -29,8 +29,10 @@ def save_checkpoint(path: str, model_params: Any, opt_state: Any = None,
         "global_step": int(global_step),
         "metrics": metrics or {},
     }
-    # container: a tiny json header + binary blobs
-    with open(path, "wb") as f:
+    # container: a tiny json header + binary blobs; written to a temp file
+    # then renamed so a preemption mid-save never corrupts the checkpoint
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as f:
         header = {
             "global_step": payload["global_step"],
             "metrics": payload["metrics"],
@@ -42,6 +44,7 @@ def save_checkpoint(path: str, model_params: Any, opt_state: Any = None,
         f.write(hdr)
         f.write(payload["model"])
         f.write(payload["optimizer"])
+    tmp.replace(path)
 
 
 def load_checkpoint(path: str, model_template: Any,
