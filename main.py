@@ -50,6 +50,11 @@ def main(argv=None):
     paras = build_parser().parse_args(argv)
     if paras.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
+    # persistent XLA compilation cache: resumes and repeated runs skip the
+    # (tens of seconds per bucket shape) compile cost
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / "jax_asr"))
 
     import numpy as np
     random.seed(paras.seed)
