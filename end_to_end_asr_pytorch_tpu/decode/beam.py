@@ -75,10 +75,13 @@ class BeamDecoder:
         B, T, _ = enc.shape
         L = max(1, int(math.ceil(self.max_len_ratio * T)))
 
-        # fold hypotheses into the batch dim for the step networks
-        enc_rep = jnp.repeat(enc, K, axis=0)
-        len_rep = jnp.repeat(enc_len, K, axis=0)
-        cache, dec_state, align = model.init_decode(p, enc_rep, len_rep)
+        # fold hypotheses into the batch dim for the step networks; project
+        # keys/values ONCE on (B, ...) then tile to (B*K, ...)
+        cache_b = model.attention.precompute(p.attention, enc, enc_len)
+        cache = jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, K, axis=0), cache_b)
+        dec_state = model.decoder.init_state(B * K, enc.dtype)
+        align = model.attention.init_align(cache)
 
         min_len = jnp.ceil(self.min_len_ratio * enc_len).astype(jnp.int32)
         max_len = jnp.maximum(

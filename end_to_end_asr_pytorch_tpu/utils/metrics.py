@@ -52,7 +52,7 @@ def cal_er(tokenizer, pred: np.ndarray, truth: np.ndarray,
     if pred.ndim == 3:
         pred = pred.argmax(axis=-1)
     truth = np.asarray(truth)
-    ers: List[float] = []
+    hyps, refs = [], []
     for p, t in zip(pred, truth):
         hyp = tokenizer.decode(p.tolist(), ignore_repeat=ctc)
         ref = tokenizer.decode(t.tolist())
@@ -62,5 +62,16 @@ def cal_er(tokenizer, pred: np.ndarray, truth: np.ndarray,
             h, r = list(hyp), list(ref)
         if len(r) == 0:
             continue
-        ers.append(edit_distance(h, r) / len(r))
-    return float(np.mean(ers)) if ers else 0.0
+        hyps.append(h)
+        refs.append(r)
+    if not refs:
+        return 0.0
+    try:
+        from . import native
+        if native.available():
+            dists = native.edit_distance_batch(hyps, refs)
+            return float(np.mean([d / len(r) for d, r in zip(dists, refs)]))
+    except ImportError:
+        pass
+    return float(np.mean([edit_distance(h, r) / len(r)
+                          for h, r in zip(hyps, refs)]))
