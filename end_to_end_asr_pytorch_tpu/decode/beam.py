@@ -177,15 +177,17 @@ class BeamDecoder:
                 else:
                     cand = jnp.broadcast_to(
                         jnp.arange(V)[None, None], (B, K, V))
-                psi, r_new = ctc_prefix.score_candidates(
+                # phase 1: psi only, for ALL candidates (selection)
+                psi, _ = ctc_prefix.score_candidates(
                     ctc_lp, carry["r"], carry["last"],
-                    jnp.full((B, K), t, jnp.int32), cand_ids=cand)
+                    jnp.full((B, K), t, jnp.int32), cand_ids=cand,
+                    with_state=False)
                 sc = jnp.take_along_axis(masked, cand, axis=2)
                 tot = base[:, :, None] + sc + cw * psi          # (B, K, C)
             else:
                 cand = jnp.broadcast_to(jnp.arange(V)[None, None], (B, K, V))
                 tot = base[:, :, None] + masked
-                psi = r_new = None
+                psi = None
 
             nC = tot.shape[-1]
             # stop expanding past per-utterance max_len; dead slots stay dead
@@ -238,11 +240,17 @@ class BeamDecoder:
             if self.use_ctc:
                 psi_g = jnp.take_along_axis(
                     _gather_k(psi, k_idx), c_idx[..., None], axis=2)[..., 0]
-                r_g = jnp.take_along_axis(
-                    _gather_k(r_new, k_idx),
-                    c_idx[..., None, None, None], axis=2)[:, :, 0]
+                # phase 2: recompute the r state for the K winners only
+                # (C/K x less cumulative-logsumexp work than materializing
+                # r for every candidate)
+                r_sel = _gather_k(carry["r"], k_idx)
+                last_sel = _gather_k(carry["last"], k_idx)
+                _, r_g = ctc_prefix.score_candidates(
+                    ctc_lp, r_sel, last_sel,
+                    jnp.full((B, K), t, jnp.int32),
+                    cand_ids=v_idx[..., None])
                 out["psi"] = psi_g
-                out["r"] = r_g
+                out["r"] = r_g[:, :, 0]
             else:
                 out["psi"] = carry["psi"]
                 out["r"] = carry["r"]

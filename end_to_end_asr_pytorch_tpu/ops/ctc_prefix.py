@@ -68,8 +68,9 @@ def _cumlogsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
                      last_tok: jnp.ndarray, prefix_len: jnp.ndarray,
-                     blank: int = 0, cand_ids: jnp.ndarray | None = None
-                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     blank: int = 0, cand_ids: jnp.ndarray | None = None,
+                     with_state: bool = True
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
     The candidate recursions
@@ -132,6 +133,11 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
 
     # psi = logsumexp_t [ phi(t-1) + xs(t) ]  — pure reduction
     psi = jax.nn.logsumexp(phi_s + xs, axis=-1)
+    psi = jnp.where(cand == blank, NEG_INF, psi)
+    if not with_state:
+        # two-phase beam usage: selection needs only psi for all candidates;
+        # the r state is recomputed afterwards for the K winners alone
+        return psi, None
 
     # r_nb = Scum + cumlogsumexp(phi(t-1) - Scum(t-1))
     scum = jnp.cumsum(xs, axis=-1)
@@ -149,8 +155,6 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
     r_b = bcum[:, None, None, :] + _cumlogsumexp(u, axis=3)
 
     r_new = jnp.stack([r_nb, r_b], axis=-1)                # (B, K, C, T, 2)
-    # a blank 'extension' is not a valid label
-    psi = jnp.where(cand == blank, NEG_INF, psi)
     return psi, r_new
 
 
