@@ -116,6 +116,43 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
     empty = (prefix_len == 0)[..., None]                   # (B, K, 1)
     phi_m1 = jnp.broadcast_to(jnp.where(empty, 0.0, NEG_INF), (B, K, C))
 
+    if not with_state:
+        # -------- psi-only fast path: log-semiring matmul on the MXU ------
+        # phi(t-1) has only two variants per (b,k): 'diff' (c != last) and
+        # 'same' (c == last). psi(c) = logsumexp_t[phi_variant(t-1)+lp(t,c)]
+        # = m + log( exp(phi-m) @ exp(lp) ) — a real matmul in probability
+        # space after a per-hypothesis max shift. This avoids materializing
+        # any (B,K,C,T) tensor (measured ~1.8x faster full beam decode).
+        phi_m1_col = jnp.where(empty[..., 0], 0.0, NEG_INF)[..., None]
+        phi_diff = jnp.concatenate(
+            [phi_m1_col, jnp.logaddexp(r_b_prev, r_nb_prev)[..., :-1]],
+            axis=-1)                                        # (B, K, T)
+        phi_same = jnp.concatenate(
+            [phi_m1_col, r_b_prev[..., :-1]], axis=-1)      # (B, K, T)
+
+        probs = jnp.exp(ctc_lp)                             # (B, T, V)
+        md = jnp.maximum(jnp.max(phi_diff, -1, keepdims=True), NEG_INF / 2)
+        wd = jnp.exp(phi_diff - md)
+        psi_diff = md + jnp.log(jnp.einsum(
+            "bkt,btv->bkv", wd, probs,
+            preferred_element_type=jnp.float32) + 1e-38)    # (B, K, V)
+
+        ms = jnp.maximum(jnp.max(phi_same, -1, keepdims=True), NEG_INF / 2)
+        ws = jnp.exp(phi_same - ms)
+        p_last = jnp.take_along_axis(
+            probs, last_tok[:, None, :].astype(jnp.int32), axis=2)  # (B,T,K)
+        psi_same = (ms[..., 0] + jnp.log(jnp.einsum(
+            "bkt,btk->bk", ws, p_last,
+            preferred_element_type=jnp.float32) + 1e-38))   # (B, K)
+
+        vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2)
+        psi_full = jnp.where(vocab_ids == last_tok[..., None],
+                             psi_same[..., None], psi_diff)
+        psi_full = psi_full.at[:, :, blank].set(NEG_INF)
+        if cand_ids is not None:
+            return jnp.take_along_axis(psi_full, cand, axis=2), None
+        return psi_full, None
+
     # per-candidate emission log-probs over time: xs (B, K, C, T)
     if cand_ids is None:
         xs = jnp.broadcast_to(

@@ -20,7 +20,7 @@ def _run(args, cwd):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     return subprocess.run(
         [sys.executable, str(REPO / "main.py")] + args + ["--cpu"],
-        cwd=cwd, env=env, capture_output=True, text=True, timeout=900)
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=1800)
 
 
 @pytest.mark.slow

@@ -122,3 +122,34 @@ def test_batched_beam_shapes():
     assert psi.shape == (B, K, V)
     assert r_new.shape == (B, K, V, T, 2)
     assert np.all(np.asarray(psi)[:, :, 0] < -1e29)  # blank ext invalid
+
+
+def test_psi_only_matmul_path_matches_state_path():
+    rng = np.random.RandomState(7)
+    B, K, T, V = 2, 3, 9, 5
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V)), -1)
+    lp = pad_ctc_log_probs(lp, jnp.array([9, 6]))
+    r, _ = init_state(lp, K)
+    last = jnp.asarray(rng.randint(1, V, (B, K)), jnp.int32)
+    # grow one step so r/last are a real mid-decode state
+    psi0, r_all = score_candidates(lp, r, jnp.zeros((B, K), jnp.int32),
+                                   jnp.zeros((B, K), jnp.int32))
+    r1 = jnp.take_along_axis(
+        r_all, last[:, :, None, None, None], axis=2)[:, :, 0]
+    plen = jnp.ones((B, K), jnp.int32)
+
+    psi_ref, _ = score_candidates(lp, r1, last, plen)
+    psi_fast, none = score_candidates(lp, r1, last, plen, with_state=False)
+    assert none is None
+    np.testing.assert_allclose(np.asarray(psi_fast)[..., 1:],
+                               np.asarray(psi_ref)[..., 1:],
+                               rtol=1e-4, atol=1e-4)
+    # empty-prefix case too
+    psi_e_ref, _ = score_candidates(lp, r, jnp.zeros((B, K), jnp.int32),
+                                    jnp.zeros((B, K), jnp.int32))
+    psi_e_fast, _ = score_candidates(lp, r, jnp.zeros((B, K), jnp.int32),
+                                     jnp.zeros((B, K), jnp.int32),
+                                     with_state=False)
+    np.testing.assert_allclose(np.asarray(psi_e_fast)[..., 1:],
+                               np.asarray(psi_e_ref)[..., 1:],
+                               rtol=1e-4, atol=1e-4)
