@@ -137,3 +137,29 @@ def test_cal_er():
     assert cal_er(tok, pred_ids, truth, mode="cer") == 0.0
     pred_bad = np.array([tok.encode("ac")])
     assert cal_er(tok, pred_bad, truth, mode="cer") == 0.5
+
+
+@pytest.mark.skipif(not NATIVE, reason="native lib not built")
+def test_librispeech_walker_with_flac(tmp_path):
+    """End-to-end: FLAC files in LibriSpeech layout through the corpus
+    walker and the native decoder."""
+    from end_to_end_asr_pytorch_tpu.data.librispeech import LibriDataset
+    from end_to_end_asr_pytorch_tpu.utils.text import CharacterTextEncoder
+    rng = np.random.RandomState(3)
+    chap = tmp_path / "train-clean-100" / "19" / "198"
+    chap.mkdir(parents=True)
+    lines = []
+    for i in range(3):
+        n = 2000 + 500 * i
+        pcm = (rng.randn(n) * 3000).astype(np.int32).clip(-32768, 32767)
+        (chap / f"19-198-{i:04d}.flac").write_bytes(
+            encode_flac(pcm, mode="verbatim"))
+        lines.append(f"19-198-{i:04d} HELLO WORLD {i}")
+    (chap / "19-198.trans.txt").write_text("\n".join(lines))
+    vocab = CharacterTextEncoder.RESERVED + list("helowrd0123456789") + ["<space>"]
+    tok = CharacterTextEncoder(vocab)
+    ds = LibriDataset(str(tmp_path), ["train-clean-100"], tok)
+    assert len(ds) == 3
+    wave = ds.load_wave(0)
+    assert len(wave) == 2000  # sorted ascending by size
+    assert ds.text_raw(0).startswith("hello world")
