@@ -75,13 +75,12 @@ class BeamDecoder:
         B, T, _ = enc.shape
         L = max(1, int(math.ceil(self.max_len_ratio * T)))
 
-        # fold hypotheses into the batch dim for the step networks; project
-        # keys/values ONCE on (B, ...) then tile to (B*K, ...)
-        cache_b = model.attention.precompute(p.attention, enc, enc_len)
-        cache = jax.tree_util.tree_map(
-            lambda x: jnp.repeat(x, K, axis=0), cache_b)
+        # attention cache stays UNEXPANDED at (B, ...); the K beam axis is
+        # broadcast inside decode_step_beam so keys are read once per step
+        cache = model.attention.precompute(p.attention, enc, enc_len)
         dec_state = model.decoder.init_state(B * K, enc.dtype)
-        align = model.attention.init_align(cache)
+        align0 = model.attention.init_align(cache)
+        align = jnp.broadcast_to(align0[:, None], (B, K) + align0.shape[1:])
 
         min_len = jnp.ceil(self.min_len_ratio * enc_len).astype(jnp.int32)
         max_len = jnp.maximum(
@@ -122,9 +121,9 @@ class BeamDecoder:
         aw, cw, lw = 1.0 - self.ctc_weight, self.ctc_weight, self.lm_weight
 
         def step(carry, t):
-            logits, new_dec, new_align, _ = model.decode_step(
+            logits, new_dec, new_align, _ = model.decode_step_beam(
                 p, cache, carry["dec_state"], carry["align"],
-                carry["last"].reshape(B * K))
+                carry["last"].reshape(B * K), K)
             if self.plugin is not None:
                 logp_att = self.plugin.fused_log_prob(
                     plugin_params, new_dec.h[-1], logits).reshape(B, K, V)
@@ -219,7 +218,7 @@ class BeamDecoder:
             new_dec_g = jax.tree_util.tree_map(
                 lambda x: x[:, flat_sel] if x.ndim >= 2 and x.shape[1] == B * K
                 else x, new_dec)
-            new_align_g = new_align[flat_sel]
+            new_align_g = _gather_k(new_align, k_idx)       # (B, K, H, T)
             new_lm_g = (jax.tree_util.tree_map(
                 lambda x: x[:, flat_sel] if x is not None else None, new_lm)
                 if use_lm else None)

@@ -129,6 +129,28 @@ class ASR:
                          preferred_element_type=jnp.float32) + p.char_b
         return logits, state, align, context
 
+    def decode_step_beam(self, p: ASRParams, cache: AttCache,
+                         state: DecoderState, prev_align: jnp.ndarray,
+                         prev_token: jnp.ndarray, beam: int):
+        """Beam-folded decode step against an UNEXPANDED attention cache.
+
+        state holds (L, B*K, H); prev_align (B, K, H, T); prev_token (B*K,).
+        Used by decode/beam.py so encoder keys/values are read once per step
+        rather than K times (see Attention.step_beam).
+        """
+        BK = prev_token.shape[0]
+        B = BK // beam
+        query = self.decoder.query(state).reshape(B, beam, -1)
+        context, align = self.attention.step_beam(p.attention, cache, query,
+                                                  prev_align)
+        emb = p.embed[prev_token]
+        dec_in = jnp.concatenate(
+            [emb, context.reshape(BK, -1)], axis=-1)
+        dec_out, state = self.decoder.step(p.decoder, state, dec_in)
+        logits = jnp.dot(dec_out, p.char_w,
+                         preferred_element_type=jnp.float32) + p.char_b
+        return logits, state, align, context
+
     # ------------------------------------------------------------- forward
     def forward(self, p: ASRParams, feat, feat_len, decode_step: int,
                 tf_rate: float = 1.0, teacher: Optional[jnp.ndarray] = None,

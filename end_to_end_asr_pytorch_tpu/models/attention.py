@@ -142,3 +142,52 @@ class Attention:
         if p.w_merge is not None:
             ctx = jnp.dot(ctx, p.w_merge, preferred_element_type=jnp.float32)
         return ctx, align
+
+    def step_beam(self, p: AttentionParams, cache: AttCache,
+                  query: jnp.ndarray, prev_align: jnp.ndarray):
+        """Beam-folded attention step against an UNEXPANDED cache.
+
+        query (B, K, Dq), prev_align (B, K, H, T); cache holds keys/values at
+        batch level (B, ...). Broadcasting the K axis against (B, 1, H, T, d)
+        keys lets XLA read the key tensor once instead of K times (the
+        repeat-to-(B*K) path was the decode hot spot after CTC scoring).
+        Returns (context (B, K, context_dim), align (B, K, H, T)).
+        """
+        B, H, T, d = cache.keys.shape
+        K = query.shape[1]
+        q = jnp.dot(query, p.w_q, preferred_element_type=jnp.float32)
+        q = q.reshape(B, K, H, d)
+
+        if self.mode == "dot":
+            energy = jnp.einsum("bkhd,bhtd->bkht", q, cache.keys,
+                                preferred_element_type=jnp.float32)
+        else:
+            a = jnp.sum(prev_align, axis=2).reshape(B * K, T, 1)
+            f = jax.lax.conv_general_dilated(
+                a.astype(p.loc_conv.dtype), p.loc_conv,
+                window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"))
+            f = jnp.dot(f, p.w_f,
+                        preferred_element_type=jnp.float32)   # (B*K, T, d)
+            f = f.reshape(B, K, T, d)
+            qb = q + p.bias.reshape(H, d)[None, None]
+            tanh_arg = (qb[:, :, :, None, :] + cache.keys[:, None]
+                        + f[:, :, None, :, :])                # (B,K,H,T,d)
+            energy = jnp.einsum("bkhtd,hd->bkht", jnp.tanh(tanh_arg),
+                                p.v_energy,
+                                preferred_element_type=jnp.float32)
+        energy = energy / self.temperature
+        energy = jnp.where(cache.mask[:, None, None, :], energy, -1e30)
+        align = jax.nn.softmax(energy, axis=-1)               # (B, K, H, T)
+
+        if p.w_v is not None:
+            vals = cache.values.reshape(B, T, H, self.v_dim)
+            ctx = jnp.einsum("bkht,bthv->bkhv", align, vals,
+                             preferred_element_type=jnp.float32)
+        else:
+            ctx = jnp.einsum("bkht,btv->bkhv", align, cache.values,
+                             preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(B, K, H * self.v_dim)
+        if p.w_merge is not None:
+            ctx = jnp.dot(ctx, p.w_merge, preferred_element_type=jnp.float32)
+        return ctx, align
