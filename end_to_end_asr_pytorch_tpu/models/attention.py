@@ -64,6 +64,11 @@ class Attention:
         self.v_dim = self.dim if self.v_proj else key_dim
         # context fed to the decoder: merged back to v_dim for multi-head
         self.context_dim = self.v_dim
+        # Optional fused Pallas step for the beam decoder (loc, single-head).
+        # Default OFF: measured slower than XLA's broadcast fusion at beam
+        # shapes (420 vs 465 utts/sec) — per-grid-cell overhead dominates the
+        # saved HBM traffic. Kept for larger-T/K regimes via cfg use_pallas.
+        self.use_pallas = bool(cfg.get("use_pallas", False))
 
     def init(self, key) -> AttentionParams:
         ks = jax.random.split(key, 8)
@@ -163,11 +168,22 @@ class Attention:
                                 preferred_element_type=jnp.float32)
         else:
             a = jnp.sum(prev_align, axis=2).reshape(B * K, T, 1)
-            f = jax.lax.conv_general_dilated(
+            f_small = jax.lax.conv_general_dilated(
                 a.astype(p.loc_conv.dtype), p.loc_conv,
                 window_strides=(1,), padding="SAME",
-                dimension_numbers=("NWC", "WIO", "NWC"))
-            f = jnp.dot(f, p.w_f,
+                dimension_numbers=("NWC", "WIO", "NWC"))      # (B*K, T, F)
+            if self.use_pallas and H == 1 and p.w_v is not None:
+                from ..ops.pallas.att_kernel import loc_attention_fused
+                qb = q[:, :, 0] + p.bias[None, None]
+                enc_len = jnp.sum(cache.mask.astype(jnp.int32), axis=1)
+                F = f_small.shape[-1]
+                ctx, align = loc_attention_fused(
+                    qb, cache.keys[:, 0],
+                    f_small.reshape(B, K, T, F).astype(jnp.float32),
+                    p.w_f, p.v_energy[0], cache.values, enc_len,
+                    temperature=self.temperature)
+                return ctx, align[:, :, None, :]
+            f = jnp.dot(f_small, p.w_f,
                         preferred_element_type=jnp.float32)   # (B*K, T, d)
             f = f.reshape(B, K, T, d)
             qb = q + p.bias.reshape(H, d)[None, None]
