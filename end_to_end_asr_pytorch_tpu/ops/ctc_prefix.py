@@ -3,9 +3,11 @@
 Capability parity with the reference's ``src/ctc.py:CTCPrefixScore``
 (SURVEY.md 2.16), which scores ONE prefix at a time with a numpy time loop
 inside the per-hypothesis Python beam. Here the recursion is batched over
-(batch, beam, vocab) and runs as a single ``lax.scan`` over encoder time —
-the shape the TPU wants and the key to fully on-device beam search
-(SURVEY.md 3.2's "decode bottleneck").
+(batch, beam, vocab) and PARALLEL over encoder time — psi selection scores
+come from a probability-domain matmul on the MXU, and the per-winner state
+recursion is solved with O(log T) Hillis-Steele cumulative-logsumexp passes
+(the key to fully on-device beam search; SURVEY.md 3.2's "decode
+bottleneck"). See score_candidates for the derivations.
 
 State convention: ``r`` (B, K, T, 2) holds log-probs of emitting the prefix
 by time t with the last frame non-blank (index 0) / blank (index 1).
