@@ -55,6 +55,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32)]
         lib.flac_free.restype = None
         lib.flac_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32, ctypes.c_int32]
+        lib.bpe_encode.restype = ctypes.c_int32
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.bpe_destroy.restype = None
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _lib = None
@@ -82,6 +93,39 @@ def edit_distance(a: Sequence, b: Sequence) -> int:
     pa = ia.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     pb = ib.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     return int(lib.edit_distance(pa, len(ia), pb, len(ib)))
+
+
+class BpeEncoder:
+    """Native BPE tokenizer handle (see native/bpe_encoder.cc)."""
+
+    def __init__(self, vocab: Sequence[str], merges: Sequence[Sequence[str]],
+                 unk_id: int):
+        lib = get_lib()
+        assert lib is not None
+        self._lib = lib
+        v_arr = (ctypes.c_char_p * len(vocab))(
+            *[t.encode() for t in vocab])
+        a_arr = (ctypes.c_char_p * len(merges))(
+            *[m[0].encode() for m in merges])
+        b_arr = (ctypes.c_char_p * len(merges))(
+            *[m[1].encode() for m in merges])
+        self._h = lib.bpe_create(v_arr, len(vocab), a_arr, b_arr,
+                                 len(merges), unk_id)
+
+    def encode(self, text: str) -> list:
+        buf_len = max(64, 4 * len(text) + 8)
+        buf = (ctypes.c_int32 * buf_len)()
+        n = self._lib.bpe_encode(self._h, text.encode(), buf, buf_len)
+        if n < 0:
+            buf = (ctypes.c_int32 * (-n))()
+            n = self._lib.bpe_encode(self._h, text.encode(), buf, -n)
+        return list(buf[:n])
+
+    def __del__(self):
+        try:
+            self._lib.bpe_destroy(self._h)
+        except Exception:
+            pass
 
 
 def edit_distance_batch(hyps: Sequence[Sequence], refs: Sequence[Sequence]

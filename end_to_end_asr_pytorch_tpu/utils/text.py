@@ -147,6 +147,14 @@ class SubwordTextEncoder(TextEncoder):
         self._vocab = vocab_list
         self._idx = {tok: i for i, tok in enumerate(vocab_list)}
         self._merge_rank = {tuple(m): r for r, m in enumerate(merges)}
+        # native C++ encode path (the reference's sentencepiece was C++ too)
+        self._native = None
+        try:
+            from . import native
+            if native.available():
+                self._native = native.BpeEncoder(vocab_list, merges, UNK_IDX)
+        except Exception:
+            self._native = None
 
     @classmethod
     def load_from_file(cls, vocab_file: str) -> "SubwordTextEncoder":
@@ -172,6 +180,12 @@ class SubwordTextEncoder(TextEncoder):
         return pieces
 
     def encode(self, text: str) -> List[int]:
+        if self._native is not None:
+            return self._native.encode(text) + [EOS_IDX]
+        return self.encode_py(text)
+
+    def encode_py(self, text: str) -> List[int]:
+        """Pure-Python path (reference implementation for the native one)."""
         ids: List[int] = []
         for word in text.split():
             for piece in self._bpe_word(word):

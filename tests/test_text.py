@@ -100,3 +100,27 @@ def test_vocab_tool_character(tmp_path):
     )
     enc = load_text_encoder("character", str(out))
     assert enc.decode(enc.encode("abc xyz")) == "abc xyz"
+
+
+def test_native_bpe_matches_python(tmp_path):
+    from end_to_end_asr_pytorch_tpu.utils import native
+    if not native.available():
+        pytest.skip("native lib not built")
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("\n".join(
+        ["the quick brown fox", "the lazy dog", "quick quick fox",
+         "jumps over the lazy dog", "unicode café naïve"]))
+    model = tmp_path / "bpe.json"
+    subprocess.run(
+        [sys.executable, str(REPO / "util" / "generate_vocab_file.py"),
+         "--input_file", str(corpus), "--mode", "subword",
+         "--output_file", str(model), "--vocab_size", "60"], check=True)
+    enc = load_text_encoder("subword", str(model))
+    assert enc._native is not None
+    for text in ["the quick brown fox", "lazy dog jumps", "zzz unseen",
+                 "café naïve", ""]:
+        assert enc.encode(text) == enc.encode_py(text), text
+        if text:
+            # round-trip through decode still works on the native ids
+            assert enc.decode(enc.encode(text)) == enc.decode(
+                enc.encode_py(text))
