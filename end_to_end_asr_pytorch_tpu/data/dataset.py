@@ -43,7 +43,8 @@ class AudioBatchLoader:
     def __init__(self, dataset: LibriDataset, batch_size: int,
                  frame_quantum: int = 64, text_quantum: int = 16,
                  shuffle: bool = True, ascending: bool = False,
-                 seed: int = 0, cache_waves: bool = True, n_jobs: int = 0):
+                 seed: int = 0, cache_waves: bool = True, n_jobs: int = 0,
+                 bucketing: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_jobs = n_jobs
@@ -55,6 +56,10 @@ class AudioBatchLoader:
         self._wave_cache: Optional[dict] = {} if cache_waves else None
         n = len(dataset)
         idx = list(range(n))  # dataset is pre-sorted ascending by size
+        if not bucketing:
+            # reference semantics: random batch composition instead of
+            # near-equal-length buckets (more padding, less length bias)
+            self.rng.shuffle(idx)
         self.batches = [idx[i:i + batch_size] for i in range(0, n, batch_size)]
 
     def __len__(self):
@@ -191,12 +196,13 @@ def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
     tokenizer = load_text_encoder(text["mode"], text["vocab_file"])
     _, feat_dim = create_transform(audio)
     bs = int(corpus.get("batch_size", 8))
+    bucketing = bool(corpus.get("bucketing", True))
     if mode == "train":
         tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
         dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
         tr_set = AudioBatchLoader(tr_ds, bs, frame_quantum=frame_quantum,
                                   shuffle=not ascending, ascending=ascending,
-                                  n_jobs=n_jobs)
+                                  n_jobs=n_jobs, bucketing=bucketing)
         dv_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
                                   shuffle=False)
     else:

@@ -38,3 +38,12 @@ def test_curriculum_order_is_length_ascending(ds):
     shuffled = list(loader.epoch_iter(shuffle=True))
     assert sorted(b["name"][0] for b in shuffled) == \
         sorted(b["name"][0] for b in ordered)
+
+
+def test_bucketing_off_randomizes_batch_composition(ds):
+    on = AudioBatchLoader(ds, 4, shuffle=False, bucketing=True)
+    off = AudioBatchLoader(ds, 4, shuffle=False, bucketing=False, seed=3)
+    assert on.batches != off.batches
+    # same utterances overall
+    flat = sorted(i for b in off.batches for i in b)
+    assert flat == list(range(len(ds)))
