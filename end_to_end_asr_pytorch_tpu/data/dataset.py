@@ -18,7 +18,6 @@ TPU-first differences from the reference's DataLoader design:
 """
 from __future__ import annotations
 
-import math
 import queue
 import threading
 from typing import Any, Dict, Iterator, List, Optional

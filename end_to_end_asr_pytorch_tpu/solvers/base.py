@@ -12,7 +12,6 @@ per SURVEY.md section 5 failure-detection row.
 """
 from __future__ import annotations
 
-import sys
 from pathlib import Path
 from typing import Any, Dict
 

@@ -14,7 +14,6 @@ throughput path. ``--njobs`` is accepted but means host loader workers only.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,6 @@ from ..decode.greedy import ctc_greedy
 from ..models.asr import ASR
 from ..models.lm import RNNLM
 from ..ops.audio import create_transform
-from ..parallel import mesh as pmesh
 from ..utils.checkpoint import load_checkpoint
 
 

@@ -18,9 +18,6 @@ from __future__ import annotations
 
 import math
 import time
-from functools import partial
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np
