@@ -1,0 +1,82 @@
+"""Fused LSTM time-scan kernel vs the jnp scan reference (values + grads,
+forward and reverse directions, with length masks)."""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from end_to_end_asr_pytorch_tpu.ops.rnn import LSTMWeights, init_lstm, lstm_scan
+from end_to_end_asr_pytorch_tpu.ops.pallas.lstm_kernel import lstm_scan_fused
+
+T, B, D, H = 10, 4, 6, 8
+LENS = [10, 7, 4, 10]
+
+
+def _setup(seed=0):
+    w = init_lstm(jax.random.PRNGKey(seed), D, H)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(T, B, D), jnp.float32)
+    mask = jnp.asarray(np.arange(T)[:, None] < np.asarray(LENS)[None, :])
+    x_proj = jnp.dot(x, w.w_ih) + w.b
+    return w, x, x_proj, mask
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_forward_matches_scan(reverse):
+    w, x, x_proj, mask = _setup()
+    ref = lstm_scan(w, x, mask, reverse=reverse)
+    got = lstm_scan_fused(x_proj, w.w_hh, mask, reverse, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_gradients_match_scan(reverse):
+    w, x, x_proj, mask = _setup(seed=1)
+    rng = np.random.RandomState(2)
+    # weighted sum so every output position contributes a distinct cotangent
+    cot = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+
+    def loss_ref(xp, whh):
+        # reproduce lstm_scan but from x_proj to isolate identical inputs
+        w2 = LSTMWeights(w.w_ih, whh, w.b)
+        ys = lstm_scan(w2, x, mask, reverse=reverse)
+        return jnp.sum(ys * cot)
+
+    def loss_fused(xp, whh):
+        ys = lstm_scan_fused(xp, whh, mask, reverse, True)
+        return jnp.sum(ys * cot)
+
+    # reference grads w.r.t. x_proj require chain through x: compare dw_hh
+    # directly, and dx_proj via the fused path against autodiff of a scan
+    # built on x_proj:
+    from end_to_end_asr_pytorch_tpu.ops import rnn as rnn_ops
+
+    def scan_from_xproj(xp, whh):
+        def step(carry, inp):
+            h, c = carry
+            xpt, mt = inp
+            gates = xpt + jnp.dot(h, whh)
+            i, f, g, o = (gates[..., :H], gates[..., H:2*H],
+                          gates[..., 2*H:3*H], gates[..., 3*H:])
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            mt = mt[:, None]
+            h = jnp.where(mt, h_new, h)
+            c = jnp.where(mt, c_new, c)
+            return (h, c), jnp.where(mt, h_new, 0.0)
+        h0 = jnp.zeros((B, H))
+        _, ys = jax.lax.scan(step, (h0, h0), (xp, mask),
+                             reverse=reverse)
+        return jnp.sum(ys * cot)
+
+    g_ref = jax.grad(scan_from_xproj, argnums=(0, 1))(x_proj, w.w_hh)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(x_proj, w.w_hh)
+    np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]),
+                               rtol=1e-4, atol=1e-5)
