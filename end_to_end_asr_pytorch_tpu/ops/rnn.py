@@ -82,15 +82,35 @@ def gru_cell(w: GRUWeights, h: jnp.ndarray, x_proj: jnp.ndarray) -> jnp.ndarray:
     return ((1.0 - z) * n + z * h).astype(h.dtype)
 
 
+USE_FUSED_SCAN = "auto"  # "auto" | True | False (tests can override)
+
+
+def _fused_ok(x: jnp.ndarray) -> bool:
+    if USE_FUSED_SCAN == "auto":
+        import jax as _jax
+        return (x.dtype == jnp.float32
+                and _jax.default_backend() not in ("cpu",))
+    return bool(USE_FUSED_SCAN)
+
+
 def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
               reverse: bool = False, h0=None, c0=None) -> jnp.ndarray:
     """Run an LSTM over time.
 
-    x: (T, B, D) time-major inputs; mask: (T, B) bool, True = valid frame.
+    x: (T, B, D) time-major inputs; mask: (T, B) bool, True = valid frame
+    (must be a contiguous run per sequence — standard length masking).
     Returns outputs (T, B, H). Padded steps emit zeros and hold the carry.
+
+    On TPU with f32 inputs and default (zero) initial state, dispatches to
+    the fused Pallas time-scan kernel (ops/pallas/lstm_kernel.py, custom
+    VJP); the lax.scan below is the reference path and fallback.
     """
     T, B, _ = x.shape
     H = w.w_hh.shape[0]
+    if h0 is None and c0 is None and _fused_ok(x):
+        from .pallas.lstm_kernel import lstm_scan_fused
+        x_proj = jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32) + w.b
+        return lstm_scan_fused(x_proj, w.w_hh, mask, reverse, False)
     x_proj = jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32) + w.b
     if h0 is None:
         h0 = jnp.zeros((B, H), x.dtype)
