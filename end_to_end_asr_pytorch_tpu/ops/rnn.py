@@ -88,7 +88,7 @@ USE_FUSED_SCAN = "auto"  # "auto" | True | False (tests can override)
 def _fused_ok(x: jnp.ndarray) -> bool:
     if USE_FUSED_SCAN == "auto":
         import jax as _jax
-        return (x.dtype == jnp.float32
+        return (x.dtype in (jnp.float32, jnp.bfloat16)
                 and _jax.default_backend() not in ("cpu",))
     return bool(USE_FUSED_SCAN)
 
@@ -109,8 +109,13 @@ def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
     H = w.w_hh.shape[0]
     if h0 is None and c0 is None and _fused_ok(x):
         from .pallas.lstm_kernel import lstm_scan_fused
-        x_proj = jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32) + w.b
-        return lstm_scan_fused(x_proj, w.w_hh, mask, reverse, False)
+        # input projection on the MXU in x's dtype; the kernel runs its
+        # recurrence in f32 and the output is cast back to the carry dtype
+        x_proj = (jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32)
+                  + w.b).astype(jnp.float32)
+        w_hh = w.w_hh.astype(jnp.float32)
+        ys = lstm_scan_fused(x_proj, w_hh, mask, reverse, False)
+        return ys.astype(x.dtype)
     x_proj = jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32) + w.b
     if h0 is None:
         h0 = jnp.zeros((B, H), x.dtype)
