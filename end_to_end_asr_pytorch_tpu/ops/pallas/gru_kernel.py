@@ -1,0 +1,189 @@
+"""Fused GRU time-scan Pallas kernel (companion to lstm_kernel.py).
+
+Same design: the whole time loop in one kernel, recurrent weights and the
+hidden carry resident in VMEM, custom VJP walking time in reverse. Torch
+gate order (r, z, n) with separate b_ih/b_hh semantics: the kernel consumes
+x_proj = x @ w_ih + b_ih and h_proj-side bias via w_hh/b_hh held in VMEM.
+
+Residuals stored for backward: gates (r, z, n) and the n-gate's hidden
+projection hp_n (needed for dr). dW_hh/db_hh are reduced in XLA from the
+kernel's per-step d(h_proj) output — one big MXU matmul instead of in-kernel
+accumulation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
+                hpn_ref, h_scr, *, B: int, H: int):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[...] = jnp.zeros((B, H), jnp.float32)
+
+    h = h_scr[...]
+    hp = jnp.dot(h, whh_ref[...],
+                 preferred_element_type=jnp.float32) + bhh_ref[...]
+    xp = xp_ref[0]
+    r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
+    z = jax.nn.sigmoid(xp[:, H:2 * H] + hp[:, H:2 * H])
+    hp_n = hp[:, 2 * H:]
+    n = jnp.tanh(xp[:, 2 * H:] + r * hp_n)
+    h_new = (1.0 - z) * n + z * h
+
+    m = mask_ref[0]
+    h_out = m * h_new + (1.0 - m) * h
+    h_scr[...] = h_out
+    ys_ref[0] = m * h_new
+    gates_ref[0] = jnp.concatenate([r, z, n], axis=-1)
+    hpn_ref[0] = hp_n
+
+
+def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
+                dys_ref, dxp_ref, dhp_ref, dh_scr, *, B: int, H: int):
+    idx = pl.program_id(0)
+
+    @pl.when(idx == 0)
+    def _():
+        dh_scr[...] = jnp.zeros((B, H), jnp.float32)
+
+    gates = gates_ref[0]
+    r = gates[:, :H]
+    z = gates[:, H:2 * H]
+    n = gates[:, 2 * H:]
+    hp_n = hpn_ref[0]
+    h_prev = hs_prev_ref[0]
+    m = mask_ref[0]
+
+    dh_carry = dh_scr[...]
+    dh = dh_carry + dys_ref[0]
+
+    dz = dh * (h_prev - n)
+    dn = dh * (1.0 - z)
+    dh_direct = dh * z
+    dan = dn * (1.0 - n * n)
+    dr = dan * hp_n
+    dhp_n = dan * r
+    dar = dr * r * (1.0 - r)
+    daz = dz * z * (1.0 - z)
+
+    dxp = jnp.concatenate([dar, daz, dan], axis=-1)
+    dhp = jnp.concatenate([dar, daz, dhp_n], axis=-1)
+    dxp = m * dxp
+    dhp = m * dhp
+    dh_prev = (jnp.dot(dhp, whh_t_ref[...],
+                       preferred_element_type=jnp.float32)
+               + m * dh_direct)
+    dh_scr[...] = dh_prev + (1.0 - m) * dh_carry
+    dxp_ref[0] = dxp
+    dhp_ref[0] = dhp
+
+
+def _run_fwd(x_proj, mask, w_hh, b_hh, interpret=False):
+    T, B, G = x_proj.shape
+    H = G // 3
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, B=B, H=H),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(x_proj, w_hh, b_hh.reshape(1, -1), mask)
+
+
+def _run_bwd(gates, hpn, ys, mask, w_hh, dys, interpret=False):
+    T, B, G = gates.shape
+    H = G // 3
+    zeros_bh = jnp.zeros((1, B, H), jnp.float32)
+    hs_prev = jnp.concatenate([zeros_bh, ys[:-1]], axis=0)
+    rev = lambda t: (T - 1 - t, 0, 0)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, B=B, H=H),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        interpret=interpret,
+    )(gates, hpn, hs_prev, mask, w_hh.T, dys)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gru_scan_fused(x_proj, w_hh, b_hh, mask, reverse: bool = False,
+                   interpret: bool = False):
+    """Fused GRU over time. x_proj (T,B,3H) = x @ w_ih + b_ih; w_hh (H,3H);
+    b_hh (3H,); mask (T,B) bool (contiguous validity). Same contract as
+    ops.rnn.gru_scan."""
+    ys, _ = _g_fwd(x_proj, w_hh, b_hh, mask, reverse, interpret)
+    return ys
+
+
+def _g_fwd(x_proj, w_hh, b_hh, mask, reverse, interpret):
+    if reverse:
+        x_proj = x_proj[::-1]
+        mask = mask[::-1]
+    m = mask.astype(jnp.float32)[:, :, None]
+    ys, gates, hpn = _run_fwd(x_proj, m, w_hh, b_hh, interpret=interpret)
+    out = ys[::-1] if reverse else ys
+    return out, (m, w_hh, ys, gates, hpn)
+
+
+def _g_bwd(reverse, interpret, res, dout):
+    m, w_hh, ys, gates, hpn = res
+    dys = dout[::-1] if reverse else dout
+    dxp, dhp = _run_bwd(gates, hpn, ys, m, w_hh, dys, interpret=interpret)
+    zeros = jnp.zeros_like(ys[:1])
+    hs_prev = jnp.concatenate([zeros, ys[:-1]], axis=0)
+    T, B, H = ys.shape
+    dwhh = jnp.einsum("tbi,tbj->ij", hs_prev, dhp,
+                      preferred_element_type=jnp.float32)
+    dbhh = jnp.sum(dhp, axis=(0, 1))
+    if reverse:
+        dxp = dxp[::-1]
+    return dxp, dwhh, dbhh, None
+
+
+gru_scan_fused.defvjp(_g_fwd, _g_bwd)

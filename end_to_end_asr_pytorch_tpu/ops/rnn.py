@@ -137,9 +137,17 @@ def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
 
 def gru_scan(w: GRUWeights, x: jnp.ndarray, mask: jnp.ndarray,
              reverse: bool = False, h0=None) -> jnp.ndarray:
-    """GRU analogue of lstm_scan. Returns (T, B, H)."""
+    """GRU analogue of lstm_scan. Returns (T, B, H). Dispatches to the fused
+    Pallas kernel on TPU like lstm_scan."""
     T, B, _ = x.shape
     H = w.w_hh.shape[0]
+    if h0 is None and _fused_ok(x):
+        from .pallas.gru_kernel import gru_scan_fused
+        x_proj = (jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32)
+                  + w.b_ih).astype(jnp.float32)
+        ys = gru_scan_fused(x_proj, w.w_hh.astype(jnp.float32),
+                            w.b_hh.astype(jnp.float32), mask, reverse, False)
+        return ys.astype(x.dtype)
     x_proj = jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32) + w.b_ih
     if h0 is None:
         h0 = jnp.zeros((B, H), x.dtype)

@@ -80,3 +80,63 @@ def test_fused_gradients_match_scan(reverse):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_fused[1]), np.asarray(g_ref[1]),
                                rtol=1e-4, atol=1e-5)
+
+
+# ----------------------------------------------------------------- GRU twin
+from end_to_end_asr_pytorch_tpu.ops.rnn import GRUWeights, init_gru, gru_scan
+from end_to_end_asr_pytorch_tpu.ops.pallas.gru_kernel import gru_scan_fused
+
+
+def _gru_setup(seed=0):
+    w = init_gru(jax.random.PRNGKey(seed), D, H)
+    # non-zero b_hh to exercise the separate-bias semantics
+    w = GRUWeights(w.w_ih, w.w_hh,
+                   w.b_ih + 0.1, w.b_hh + 0.05)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(T, B, D), jnp.float32)
+    mask = jnp.asarray(np.arange(T)[:, None] < np.asarray(LENS)[None, :])
+    x_proj = jnp.dot(x, w.w_ih) + w.b_ih
+    return w, x, x_proj, mask
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_fused_forward_matches_scan(reverse):
+    w, x, x_proj, mask = _gru_setup()
+    ref = gru_scan(w, x, mask, reverse=reverse)
+    got = gru_scan_fused(x_proj, w.w_hh, w.b_hh, mask, reverse, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_fused_grads_match_scan(reverse):
+    w, x, x_proj, mask = _gru_setup(seed=3)
+    rng = np.random.RandomState(4)
+    cot = jnp.asarray(rng.randn(T, B, H), jnp.float32)
+
+    def ref_loss(xp, whh, bhh):
+        from end_to_end_asr_pytorch_tpu.ops.rnn import gru_cell
+
+        def step(h, inp):
+            xpt, mt = inp
+            hp = jnp.dot(h, whh) + bhh
+            r = jax.nn.sigmoid(xpt[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xpt[..., H:2*H] + hp[..., H:2*H])
+            n = jnp.tanh(xpt[..., 2*H:] + r * hp[..., 2*H:])
+            h_new = (1.0 - z) * n + z * h
+            mt = mt[:, None]
+            h = jnp.where(mt, h_new, h)
+            return h, jnp.where(mt, h_new, 0.0)
+        h0 = jnp.zeros((B, H))
+        _, ys = jax.lax.scan(step, h0, (xp, mask), reverse=reverse)
+        return jnp.sum(ys * cot)
+
+    def fused_loss(xp, whh, bhh):
+        ys = gru_scan_fused(xp, whh, bhh, mask, reverse, True)
+        return jnp.sum(ys * cot)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x_proj, w.w_hh, w.b_hh)
+    g_fus = jax.grad(fused_loss, argnums=(0, 1, 2))(x_proj, w.w_hh, w.b_hh)
+    for a, b in zip(g_fus, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
