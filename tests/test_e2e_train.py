@@ -118,3 +118,30 @@ def test_lm_train(tmp_path, corpus):
     best = solver.exec()
     assert best < 30.0  # char vocab of 30 => untrained ppx ~30
     assert (tmp_path / "ckpt" / "lm_sd0" / "best_ppx.pth").exists()
+
+
+def test_amp_bf16_train(tmp_path, corpus):
+    """hparas.amp: bfloat16 compute path through the full train step."""
+    from end_to_end_asr_pytorch_tpu.solvers.train_asr import Solver
+    cfg = _asr_config(corpus, ctc_weight=0.5, max_step=6)
+    cfg["hparas"]["amp"] = True
+    solver = Solver(cfg, _paras(tmp_path, "amp"), "train")
+    solver.load_data()
+    solver.set_model()
+    losses = []
+    orig = solver._train_step
+
+    def spy(*a, **k):
+        p, o, m = orig(*a, **k)
+        losses.append(float(m["loss"]))
+        return p, o, m
+
+    solver._train_step = spy
+    solver.exec()
+    assert solver.step == 6
+    assert all(np.isfinite(l) for l in losses)
+    # params stay float32 (bf16 is compute-only)
+    import jax
+    assert all(l.dtype == np.float32 or l.dtype == np.int32
+               for l in jax.tree_util.tree_leaves(solver.params)
+               if hasattr(l, "dtype"))
