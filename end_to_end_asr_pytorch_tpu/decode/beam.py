@@ -10,10 +10,13 @@ TPU-first (this IS the >=10x headline, SURVEY.md 3.2): the reference decodes
 one utterance per CPU process with a per-hypothesis Python loop; here the
 whole batch advances K hypotheses each in ONE jitted ``lax.scan`` —
 hypothesis state is (B, K, ...) tensors, the decoder/LM states are folded to
-(B*K, ...), CTC prefix scoring is the vectorized scan from ops/ctc_prefix,
-and top-k pruning is ``lax.top_k`` over the (K * candidates) axis. For large
-vocabs, CTC scoring is restricted to the ``ctc_candidates`` best extensions
-by attention+LM score (the reference's 'cheap_compute' idea, vectorized).
+(B*K, ...) while attention reads UNEXPANDED (B,...) keys (step_beam), CTC
+selection scores come from ops/ctc_prefix's probability-domain matmul with
+the winners' states recomputed afterwards (two-phase), and top-k pruning is
+``lax.top_k`` over the (K * candidates) axis. For large vocabs, CTC scoring
+is restricted to the ``ctc_candidates`` best extensions by attention+LM
+score (the reference's 'cheap_compute' idea, vectorized). Measured 5157x
+the reference-style CPU decoder on one v5e chip (BASELINE.md).
 """
 from __future__ import annotations
 
