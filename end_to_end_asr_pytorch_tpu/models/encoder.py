@@ -75,8 +75,8 @@ class VGGExtractor:
         k4, b4 = conv(ks[3], 128, 128)
         return VGGParams(k1, b1, k2, b2, k3, b3, k4, b4)
 
-    def __call__(self, p: VGGParams, x: jnp.ndarray,
-                 x_len: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(self, p: VGGParams, x: jnp.ndarray, x_len: jnp.ndarray,
+                 *, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """x (B, T, D) -> (B, T//4, out_dim); requires T % 4 == 0 (bucketing
         pads to a multiple of the total downsample factor)."""
         B, T, D = x.shape
@@ -88,8 +88,17 @@ class VGGExtractor:
                 h, k, (1, 1), "SAME", dimension_numbers=dn) + b
 
         def pool(h):
-            return jax.lax.reduce_window(
-                h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            if train:
+                # reduce_window has the faster GRADIENT (select-and-scatter)
+                return jax.lax.reduce_window(
+                    h, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                    "VALID")
+            # inference: reshape+max forward profiled ~10x faster than
+            # reduce_window on TPU at these shapes (identical values)
+            n, t, f, c = h.shape
+            h = h[:, : (t // 2) * 2, : (f // 2) * 2, :]
+            h = h.reshape(n, t // 2, 2, f // 2, 2, c)
+            return jnp.max(jnp.max(h, axis=4), axis=2)
 
         h = jax.nn.relu(conv(x, p.k1, p.b1))
         h = jax.nn.relu(conv(h, p.k2, p.b2))
@@ -125,7 +134,8 @@ class CNNExtractor:
             jnp.zeros((self.out_dim,)),
         )
 
-    def __call__(self, p: CNNParams, x: jnp.ndarray, x_len: jnp.ndarray):
+    def __call__(self, p: CNNParams, x: jnp.ndarray, x_len: jnp.ndarray,
+                 *, train: bool = False):
         dn = ("NWC", "WIO", "NWC")
         h = jax.lax.conv_general_dilated(
             x, p.k1, (2,), "SAME", dimension_numbers=dn) + p.b1
@@ -274,7 +284,7 @@ class Encoder:
                  feat_len: jnp.ndarray, *, train: bool = False, rng=None):
         h, h_len = feat, feat_len
         if self.prenet is not None:
-            h, h_len = self.prenet(p.prenet, h, h_len)
+            h, h_len = self.prenet(p.prenet, h, h_len, train=train)
         rngs = (jax.random.split(rng, len(self.layers))
                 if rng is not None else [None] * len(self.layers))
         for layer, lp, r in zip(self.layers, p.layers, rngs):
