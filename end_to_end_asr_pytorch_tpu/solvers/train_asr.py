@@ -128,11 +128,17 @@ class Solver(BaseSolver):
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, tree)
 
+        aug_cfg = self.config["data"]["audio"].get("augment")
+
         def train_step(params, opt_state, wave, wave_len, text, text_len,
                        tf_rate, rng):
             def loss_fn(p):
                 asr_p = p["asr"] if plugin is not None else p
                 feat, feat_len = frontend(wave, wave_len)
+                if aug_cfg:
+                    from ..ops.augment import spec_augment
+                    nonlocal_rng = jax.random.fold_in(rng, 1)
+                    feat = spec_augment(feat, feat_len, nonlocal_rng, aug_cfg)
                 if amp:
                     asr_p = _cast_bf16(asr_p)
                     feat = feat.astype(jnp.bfloat16)
