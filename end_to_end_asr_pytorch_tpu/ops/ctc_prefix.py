@@ -68,6 +68,20 @@ def _cumlogsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, axis)
 
 
+def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Inclusive cumsum via the same doubling trick: jnp.cumsum lowers to
+    reduce-window on TPU, which profiled as the single largest op in the
+    beam loop (45us/step at (B,K,1,T))."""
+    T = x.shape[axis]
+    x = jnp.moveaxis(x, axis, -1)
+    shift = 1
+    while shift < T:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(shift, 0)])[..., :T]
+        x = x + shifted
+        shift *= 2
+    return jnp.moveaxis(x, -1, axis)
+
+
 def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
                      last_tok: jnp.ndarray, prefix_len: jnp.ndarray,
                      blank: int = 0, cand_ids: jnp.ndarray | None = None,
@@ -179,13 +193,13 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         return psi, None
 
     # r_nb = Scum + cumlogsumexp(phi(t-1) - Scum(t-1))
-    scum = jnp.cumsum(xs, axis=-1)
+    scum = _cumsum(xs, 3)
     scum_s = jnp.concatenate([jnp.zeros_like(scum[..., :1]),
                               scum[..., :-1]], axis=-1)
     r_nb = scum + _cumlogsumexp(phi_s - scum_s, axis=3)
 
     # r_b = Bcum + cumlogsumexp(r_nb(t-1) - Bcum(t-1)); r_nb(-1) = -inf
-    bcum = jnp.cumsum(bl, axis=-1)                         # (B, T)
+    bcum = _cumsum(bl, 1)                                  # (B, T)
     bcum_s = jnp.concatenate([jnp.zeros_like(bcum[..., :1]),
                               bcum[..., :-1]], axis=-1)
     u = jnp.concatenate(
