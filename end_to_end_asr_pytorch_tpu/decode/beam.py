@@ -174,20 +174,26 @@ class BeamDecoder:
             masked = masked.at[:, :, PAD_IDX].set(NEG_INF)
 
             if self.use_ctc:
+                # phase 1: psi only, for the candidate set (selection).
+                # When C == V the candidate set is the identity — avoid the
+                # take_along_axis gathers entirely (profiled as the hottest
+                # while-body ops: 29us each for 4KB of data).
                 if C < V:
                     _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
+                    psi, _ = ctc_prefix.score_candidates(
+                        ctc_lp, carry["r"], carry["last"],
+                        jnp.full((B, K), t, jnp.int32), cand_ids=cand,
+                        with_state=False)
+                    sc = jnp.take_along_axis(masked, cand, axis=2)
                 else:
-                    cand = jnp.broadcast_to(
-                        jnp.arange(V)[None, None], (B, K, V))
-                # phase 1: psi only, for ALL candidates (selection)
-                psi, _ = ctc_prefix.score_candidates(
-                    ctc_lp, carry["r"], carry["last"],
-                    jnp.full((B, K), t, jnp.int32), cand_ids=cand,
-                    with_state=False)
-                sc = jnp.take_along_axis(masked, cand, axis=2)
+                    cand = None
+                    psi, _ = ctc_prefix.score_candidates(
+                        ctc_lp, carry["r"], carry["last"],
+                        jnp.full((B, K), t, jnp.int32), with_state=False)
+                    sc = masked
                 tot = base[:, :, None] + sc + cw * psi          # (B, K, C)
             else:
-                cand = jnp.broadcast_to(jnp.arange(V)[None, None], (B, K, V))
+                cand = None
                 tot = base[:, :, None] + masked
                 psi = None
 
@@ -202,8 +208,11 @@ class BeamDecoder:
             new_valid = top_tot > NEG_INF / 2
             k_idx = top_idx // nC
             c_idx = top_idx % nC
-            v_idx = jnp.take_along_axis(
-                _gather_k(cand, k_idx), c_idx[..., None], axis=2)[..., 0]
+            if cand is None:  # identity candidate set: c IS the vocab id
+                v_idx = c_idx
+            else:
+                v_idx = jnp.take_along_axis(
+                    _gather_k(cand, k_idx), c_idx[..., None], axis=2)[..., 0]
 
             # gather hypothesis state
             tokens = _gather_k(carry["tokens"], k_idx)

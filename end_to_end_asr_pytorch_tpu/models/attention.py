@@ -168,6 +168,42 @@ class Attention:
                                 preferred_element_type=jnp.float32)
         else:
             a = jnp.sum(prev_align, axis=2).reshape(B * K, T, 1)
+            if not (self.use_pallas and H == 1 and p.w_v is not None):
+                # the conv and the w_f projection are both linear, so w_f
+                # folds into the conv kernel: conv(a, k) @ w_f ==
+                # conv(a, k @ w_f). This removes a (B*K, T, d) matmul output
+                # plus the 27 MB layout copy XLA inserted after it (profiled
+                # at 23us/decode-step).
+                kernel = jnp.einsum(
+                    "kif,fd->kid", p.loc_conv.astype(jnp.float32), p.w_f,
+                    preferred_element_type=jnp.float32)
+                f = jax.lax.conv_general_dilated(
+                    a.astype(jnp.float32), kernel,
+                    window_strides=(1,), padding="SAME",
+                    dimension_numbers=("NWC", "WIO", "NWC"))  # (B*K, T, d)
+                f = f.reshape(B, K, T, d)
+                qb = q + p.bias.reshape(H, d)[None, None]
+                tanh_arg = (qb[:, :, :, None, :] + cache.keys[:, None]
+                            + f[:, :, None, :, :])            # (B,K,H,T,d)
+                energy = jnp.einsum("bkhtd,hd->bkht", jnp.tanh(tanh_arg),
+                                    p.v_energy,
+                                    preferred_element_type=jnp.float32)
+                energy = energy / self.temperature
+                energy = jnp.where(cache.mask[:, None, None, :], energy,
+                                   -1e30)
+                align = jax.nn.softmax(energy, axis=-1)
+                if p.w_v is not None:
+                    vals = cache.values.reshape(B, T, H, self.v_dim)
+                    ctx = jnp.einsum("bkht,bthv->bkhv", align, vals,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    ctx = jnp.einsum("bkht,btv->bkhv", align, cache.values,
+                                     preferred_element_type=jnp.float32)
+                ctx = ctx.reshape(B, K, H * self.v_dim)
+                if p.w_merge is not None:
+                    ctx = jnp.dot(ctx, p.w_merge,
+                                  preferred_element_type=jnp.float32)
+                return ctx, align
             f_small = jax.lax.conv_general_dilated(
                 a.astype(p.loc_conv.dtype), p.loc_conv,
                 window_strides=(1,), padding="SAME",
