@@ -80,7 +80,8 @@ class BeamDecoder:
 
         # attention cache stays UNEXPANDED at (B, ...); the K beam axis is
         # broadcast inside decode_step_beam so keys are read once per step
-        cache = model.attention.precompute(p.attention, enc, enc_len)
+        cache = model.attention.precompute(p.attention, enc, enc_len,
+                                           pad_lanes=True)
         dec_state = model.decoder.init_state(B * K, enc.dtype)
         align0 = model.attention.init_align(cache)
         align = jnp.broadcast_to(align0[:, None], (B, K) + align0.shape[1:])
