@@ -43,7 +43,8 @@ DECODE_CFG = {"beam_size": 8, "min_len_ratio": 0.05, "max_len_ratio": 0.6,
               "ctc_weight": 0.3, "lm_weight": 0.3}
 VOCAB = 31
 BATCH = 16
-N_BATCHES = 4          # timed batches (after warmup/compile)
+N_BATCHES = 16         # timed batches (after warmup/compile); the TPU
+                       # tunnel shows ~±6% run-to-run noise at small N
 SECS = 7.0             # ~LibriSpeech test-clean mean utterance length
 SEED = 0
 

@@ -15,7 +15,7 @@ selection scores come from ops/ctc_prefix's probability-domain matmul with
 the winners' states recomputed afterwards (two-phase), and top-k pruning is
 ``lax.top_k`` over the (K * candidates) axis. For large vocabs, CTC scoring
 is restricted to the ``ctc_candidates`` best extensions by attention+LM
-score (the reference's 'cheap_compute' idea, vectorized). Measured 9427x
+score (the reference's 'cheap_compute' idea, vectorized). Measured ~12,700x
 the reference-style CPU decoder on one v5e chip (BASELINE.md).
 """
 from __future__ import annotations

@@ -26,57 +26,65 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# time steps per grid iteration: amortizes the per-iteration pipeline
+# overhead that dominates these latency-bound tiny recurrent steps
+UNROLL = 4
+
+
 # ------------------------------------------------------------------ forward
 def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
-                h_scr, c_scr, *, B: int, H: int):
-    t = pl.program_id(0)
+                h_scr, c_scr, *, B: int, H: int, U: int):
+    tt = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(tt == 0)
     def _():
         h_scr[...] = jnp.zeros((B, H), jnp.float32)
         c_scr[...] = jnp.zeros((B, H), jnp.float32)
 
     h = h_scr[...]
     c = c_scr[...]
-    gates = xp_ref[0] + jnp.dot(h, whh_ref[...],
-                                preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
+    whh = whh_ref[...]
+    for u in range(U):
+        gates = xp_ref[u] + jnp.dot(h, whh,
+                                    preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        c_new = f * c + i * g
+        h_new = o * jnp.tanh(c_new)
 
-    m = mask_ref[0]                                  # (B, 1) float 0/1
-    h_out = m * h_new + (1.0 - m) * h
-    c_out = m * c_new + (1.0 - m) * c
-    h_scr[...] = h_out
-    c_scr[...] = c_out
-    ys_ref[0] = m * h_new
-    cs_ref[0] = c_out
-    gates_ref[0] = jnp.concatenate([i, f, g, o], axis=-1)
+        m = mask_ref[u]                              # (B, 1) float 0/1
+        h = m * h_new + (1.0 - m) * h
+        c = m * c_new + (1.0 - m) * c
+        ys_ref[u] = m * h_new
+        cs_ref[u] = c
+        gates_ref[u] = jnp.concatenate([i, f, g, o], axis=-1)
+    h_scr[...] = h
+    c_scr[...] = c
 
 
 def _run_fwd(x_proj, mask, w_hh, interpret=False):
     T, B, G = x_proj.shape
     H = G // 4
+    U = UNROLL if T % UNROLL == 0 else 1
     ys, cs, gates = pl.pallas_call(
-        functools.partial(_fwd_kernel, B=B, H=H),
-        grid=(T,),
+        functools.partial(_fwd_kernel, B=B, H=H, U=U),
+        grid=(T // U,),
         in_specs=[
-            pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, 4 * H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, 1), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -94,96 +102,87 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
 
 
 # ----------------------------------------------------------------- backward
-def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, hs_prev_ref, mask_ref,
-                whh_t_ref, dys_ref, dxp_ref, dwhh_ref,
-                dh_scr, dc_scr, dw_scr, *, B: int, H: int, T: int):
-    idx = pl.program_id(0)                           # 0 .. T-1, t = T-1-idx
+def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
+                whh_t_ref, dys_ref, dxp_ref,
+                dh_scr, dc_scr, *, B: int, H: int, NB: int, U: int):
+    idx = pl.program_id(0)                      # block 0 holds the LAST U ts
 
     @pl.when(idx == 0)
     def _():
         dh_scr[...] = jnp.zeros((B, H), jnp.float32)
         dc_scr[...] = jnp.zeros((B, H), jnp.float32)
-        dw_scr[...] = jnp.zeros((H, 4 * H), jnp.float32)
-
-    gates = gates_ref[0]
-    i = gates[:, :H]
-    f = gates[:, H:2 * H]
-    g = gates[:, 2 * H:3 * H]
-    o = gates[:, 3 * H:]
-    c_t = cs_ref[0]
-    c_prev = cs_prev_ref[0]
-    h_prev = hs_prev_ref[0]
-    m = mask_ref[0]                                  # (B, 1)
 
     dh_carry = dh_scr[...]
     dc_carry = dc_scr[...]
-    dh = dh_carry + dys_ref[0]                       # carry + direct output
+    whh_t = whh_t_ref[...]
+    for u in range(U - 1, -1, -1):              # walk time downwards
+        gates = gates_ref[u]
+        i = gates[:, :H]
+        f = gates[:, H:2 * H]
+        g = gates[:, 2 * H:3 * H]
+        o = gates[:, 3 * H:]
+        c_t = cs_ref[u]
+        c_prev = cs_prev_ref[u]
+        m = mask_ref[u]                         # (B, 1)
 
-    tc = jnp.tanh(c_t)
-    do = dh * tc
-    dc = dc_carry + dh * o * (1.0 - tc * tc)
-    di = dc * g
-    dg = dc * i
-    df = dc * c_prev
-    dc_prev = dc * f
+        dh = dh_carry + dys_ref[u]
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_carry + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        dg = dc * i
+        df = dc * c_prev
+        dc_prev = dc * f
 
-    dgates = jnp.concatenate([
-        di * i * (1.0 - i), df * f * (1.0 - f),
-        dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
-    # masked steps: no gate gradients; carries pass straight through (dys at
-    # a masked step corresponds to an identically-zero output and is dropped)
-    dgates = m * dgates
-    dh_prev = jnp.dot(dgates, whh_t_ref[...],
-                      preferred_element_type=jnp.float32)
-    dh_scr[...] = dh_prev + (1.0 - m) * dh_carry
-    dc_scr[...] = m * dc_prev + (1.0 - m) * dc_carry
-    dxp_ref[0] = dgates
-    dw_scr[...] += jnp.dot(h_prev.T, dgates,
-                           preferred_element_type=jnp.float32)
-
-    @pl.when(idx == T - 1)
-    def _():
-        dwhh_ref[...] = dw_scr[...]
-
+        dgates = jnp.concatenate([
+            di * i * (1.0 - i), df * f * (1.0 - f),
+            dg * (1.0 - g * g), do * o * (1.0 - o)], axis=-1)
+        # masked steps: no gate grads; carries pass through (dys at a masked
+        # step corresponds to an identically-zero output and is dropped)
+        dgates = m * dgates
+        dh_prev = jnp.dot(dgates, whh_t,
+                          preferred_element_type=jnp.float32)
+        dh_carry = dh_prev + (1.0 - m) * dh_carry
+        dc_carry = m * dc_prev + (1.0 - m) * dc_carry
+        dxp_ref[u] = dgates
+    dh_scr[...] = dh_carry
+    dc_scr[...] = dc_carry
 
 def _run_bwd(gates, cs, ys, mask, w_hh, dys, interpret=False):
     T, B, G = gates.shape
     H = G // 4
+    U = UNROLL if T % UNROLL == 0 else 1
+    NB = T // U
     # previous-step tensors (index t-1, zeros at t=0)
     zeros_bh = jnp.zeros((1, B, H), jnp.float32)
     cs_prev = jnp.concatenate([zeros_bh, cs[:-1]], axis=0)
     hs_prev = jnp.concatenate([zeros_bh, ys[:-1]], axis=0)
 
-    rev = lambda t: (T - 1 - t, 0, 0)
-    dxp, dwhh = pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, H=H, T=T),
-        grid=(T,),
+    rev = lambda t: (NB - 1 - t, 0, 0)
+    dxp = pl.pallas_call(
+        functools.partial(_bwd_kernel, B=B, H=H, NB=NB, U=U),
+        grid=(NB,),
         in_specs=[
-            pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, 1), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * H, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, 4 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
-            jax.ShapeDtypeStruct((H, 4 * H), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((U, B, 4 * H), rev, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((H, 4 * H), jnp.float32),
         ],
         interpret=interpret,
-    )(gates, cs, cs_prev, hs_prev, mask, w_hh.T, dys)
+    )(gates, cs, cs_prev, mask, w_hh.T, dys)
+    # dW_hh as ONE large MXU matmul in XLA (GRU-kernel pattern): frees 8 MB
+    # of kernel VMEM (accumulator + output block) that OOM'd at UNROLL=4
+    dwhh = jnp.einsum("tbi,tbj->ij", hs_prev, dxp,
+                      preferred_element_type=jnp.float32)
     return dxp, dwhh
 
 

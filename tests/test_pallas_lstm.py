@@ -140,3 +140,44 @@ def test_gru_fused_grads_match_scan(reverse):
     for a, b in zip(g_fus, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_fused_unrolled_path(reverse):
+    """T divisible by UNROLL exercises the multi-step-per-block kernels."""
+    T2 = 12
+    w = init_lstm(jax.random.PRNGKey(5), D, H)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(T2, B, D), jnp.float32)
+    lens = [12, 9, 5, 12]
+    mask = jnp.asarray(np.arange(T2)[:, None] < np.asarray(lens)[None, :])
+    x_proj = jnp.dot(x, w.w_ih) + w.b
+    ref = lstm_scan(w, x, mask, reverse=reverse)
+    got = lstm_scan_fused(x_proj, w.w_hh, mask, reverse, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    cot = jnp.asarray(rng.randn(T2, B, H), jnp.float32)
+
+    def scan_loss(xp, whh):
+        def step(carry, inp):
+            h, c = carry
+            xpt, mt = inp
+            gates = xpt + jnp.dot(h, whh)
+            i, f, g_, o = (gates[..., :H], gates[..., H:2*H],
+                           gates[..., 2*H:3*H], gates[..., 3*H:])
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g_)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            mt = mt[:, None]
+            return ((jnp.where(mt, h_new, h), jnp.where(mt, c_new, c)),
+                    jnp.where(mt, h_new, 0.0))
+        h0 = jnp.zeros((B, H))
+        _, ys = jax.lax.scan(step, (h0, h0), (xp, mask), reverse=reverse)
+        return jnp.sum(ys * cot)
+
+    g_ref = jax.grad(scan_loss, argnums=(0, 1))(x_proj, w.w_hh)
+    g_fus = jax.grad(lambda xp, whh: jnp.sum(
+        lstm_scan_fused(xp, whh, mask, reverse, True) * cot),
+        argnums=(0, 1))(x_proj, w.w_hh)
+    for a, b in zip(g_fus, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
