@@ -9,8 +9,11 @@ VPU gates, and the per-step input projections stream in as pipelined block
 DMAs.
 
 Training support is a full custom VJP: the forward stores post-activation
-gates and cell states (the standard residuals), and the backward kernel walks
-time in reverse accumulating dW_hh in VMEM — no autodiff replay of the scan.
+gates and cell states (the standard residuals); the backward kernel walks
+time in reverse emitting gate gradients (dW_hh is then one large MXU matmul
+in XLA) — no autodiff replay of the scan. UNROLL time steps are processed
+per grid iteration to amortize the per-iteration pipeline overhead that
+dominates these latency-bound recurrent steps (measured 1.6x).
 
 Gate order follows torch/ops.rnn convention (i, f, g, o). The jnp scan in
 ops/rnn.py remains the reference implementation and non-TPU fallback.
@@ -18,7 +21,6 @@ ops/rnn.py remains the reference implementation and non-TPU fallback.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
