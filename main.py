@@ -46,10 +46,23 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def setup_backend(cpu: bool) -> None:
+    """Select the JAX backend BEFORE any computation initializes it.
+
+    The axon TPU plugin ignores the ``JAX_PLATFORMS`` env var, so ``--cpu``
+    must go through ``jax.config.update`` (which is honored as long as the
+    backend has not been created yet). The env var is still set for any
+    worker subprocesses.
+    """
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+
 def main(argv=None):
     paras = build_parser().parse_args(argv)
-    if paras.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+    setup_backend(paras.cpu)
     # persistent XLA compilation cache: resumes and repeated runs skip the
     # (tens of seconds per bucket shape) compile cost
     os.environ.setdefault(
@@ -62,6 +75,10 @@ def main(argv=None):
 
     from end_to_end_asr_pytorch_tpu.config import load_config
     config = load_config(paras.config)
+
+    if not paras.no_msg:
+        import jax
+        print(f"[backend] {jax.default_backend()} x{jax.device_count()}")
 
     if paras.lm:
         from end_to_end_asr_pytorch_tpu.solvers.train_lm import Solver
