@@ -9,14 +9,15 @@ full n-best ``beam.csv``, and reports WER/CER.
 TPU-first: where the reference forces batch_size=1 and fans utterances out
 to ``joblib`` CPU processes (its decode bottleneck, SURVEY.md 3.2), decoding
 here is BATCHED inside one jitted program per bucket shape — the >=10x
-throughput path. ``--njobs`` is accepted but means host loader workers only.
+throughput path — and each batch is SHARDED over the ('data',) mesh, so the
+same CLI decodes on 1 chip or an 8-chip slice with no code change.
+``--njobs`` is accepted but means host loader workers only.
 """
 from __future__ import annotations
 
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .base import BaseSolver
@@ -27,6 +28,7 @@ from ..decode.greedy import ctc_greedy
 from ..models.asr import ASR
 from ..models.lm import RNNLM
 from ..ops.audio import create_transform
+from ..parallel import mesh as pmesh
 from ..utils.checkpoint import load_checkpoint
 
 
@@ -78,6 +80,17 @@ class Solver(BaseSolver):
             self.lm_params = ck["model"]
             self.verbose(f"Loaded LM ckpt for shallow fusion "
                          f"(weight {self.lm_weight})")
+
+        # shard each decode batch over the ('data',) mesh; params replicated
+        self.mesh = pmesh.make_mesh()
+        self.n_dev = self.mesh.devices.size
+        self.params = pmesh.replicate_tree(self.mesh, self.params)
+        if self.lm_params is not None:
+            self.lm_params = pmesh.replicate_tree(self.mesh, self.lm_params)
+        if self.plugin_params is not None:
+            self.plugin_params = pmesh.replicate_tree(self.mesh,
+                                                      self.plugin_params)
+        self.verbose(f"Decode mesh | {self.n_dev}x data-parallel")
 
         if self.model.enable_att:
             self.decoder = BeamDecoder(self.model, self.decode_cfg, self.lm,
@@ -147,9 +160,12 @@ class Solver(BaseSolver):
         return float(np.mean(ers)) if ers else 0.0
 
     def _run_batch(self, batch):
-        wave = jnp.asarray(batch["wave"])
-        wave_len = jnp.asarray(batch["wave_len"])
-        B = wave.shape[0]
+        # pad to a mesh multiple (dummy utts carry text_len==0 and are
+        # dropped by the caller), then shard the batch axis over the mesh
+        B = len(batch["name"])
+        padded = pmesh.pad_batch_to(batch, self.n_dev)
+        sb = pmesh.shard_batch(self.mesh, padded)
+        wave, wave_len = sb["wave"], sb["wave_len"]
         if self.decoder is not None:
             out = self._decode(self.params, self.lm_params, wave, wave_len)
             tokens = np.asarray(out.tokens)
