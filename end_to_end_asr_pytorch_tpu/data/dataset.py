@@ -20,9 +20,46 @@ from __future__ import annotations
 
 import queue
 import threading
+from collections import OrderedDict
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
+
+DEFAULT_CACHE_BYTES = 2 << 30  # 2 GiB of decoded f32 waveforms
+
+
+class LRUWaveCache:
+    """Byte-budget LRU for decoded waveforms.
+
+    An unbounded cache OOMs by design at LibriSpeech-960 scale (~100 GB of
+    f32); this keeps the hot set (small-corpus runs still get 100% hits)
+    while bounding host memory. Items larger than the whole budget are never
+    cached.
+    """
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self._items: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        self.nbytes = 0
+
+    def get(self, key: int) -> Optional[np.ndarray]:
+        w = self._items.get(key)
+        if w is not None:
+            self._items.move_to_end(key)
+        return w
+
+    def put(self, key: int, wave: np.ndarray) -> None:
+        nb = wave.nbytes
+        if nb > self.max_bytes or key in self._items:
+            return
+        while self.nbytes + nb > self.max_bytes and self._items:
+            _, old = self._items.popitem(last=False)
+            self.nbytes -= old.nbytes
+        self._items[key] = wave
+        self.nbytes += nb
+
+    def __len__(self):
+        return len(self._items)
 
 from .librispeech import LibriDataset
 from ..ops.audio import create_transform
@@ -43,7 +80,8 @@ class AudioBatchLoader:
                  frame_quantum: int = 64, text_quantum: int = 16,
                  shuffle: bool = True, ascending: bool = False,
                  seed: int = 0, cache_waves: bool = True, n_jobs: int = 0,
-                 bucketing: bool = True):
+                 bucketing: bool = True,
+                 cache_bytes: int = DEFAULT_CACHE_BYTES):
         self.ds = dataset
         self.batch_size = batch_size
         self.n_jobs = n_jobs
@@ -52,7 +90,9 @@ class AudioBatchLoader:
         self.shuffle = shuffle and not ascending
         self.ascending = ascending
         self.rng = np.random.RandomState(seed)
-        self._wave_cache: Optional[dict] = {} if cache_waves else None
+        self._wave_cache: Optional[LRUWaveCache] = (
+            LRUWaveCache(cache_bytes) if cache_waves and cache_bytes > 0
+            else None)
         n = len(dataset)
         idx = list(range(n))  # dataset is pre-sorted ascending by size
         if not bucketing:
@@ -69,7 +109,7 @@ class AudioBatchLoader:
             w = self._wave_cache.get(i)
             if w is None:
                 w = self.ds.load_wave(i)
-                self._wave_cache[i] = w
+                self._wave_cache.put(i, w)
             return w
         return self.ds.load_wave(i)
 
@@ -196,22 +236,26 @@ def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
     _, feat_dim = create_transform(audio)
     bs = int(corpus.get("batch_size", 8))
     bucketing = bool(corpus.get("bucketing", True))
+    # corpus.cache_bytes: byte budget for the decoded-waveform LRU
+    # (0 disables; default 2 GiB)
+    cache_bytes = int(corpus.get("cache_bytes", DEFAULT_CACHE_BYTES))
     if mode == "train":
         tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
         dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
         tr_set = AudioBatchLoader(tr_ds, bs, frame_quantum=frame_quantum,
                                   shuffle=not ascending, ascending=ascending,
-                                  n_jobs=n_jobs, bucketing=bucketing)
+                                  n_jobs=n_jobs, bucketing=bucketing,
+                                  cache_bytes=cache_bytes)
         dv_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
-                                  shuffle=False)
+                                  shuffle=False, cache_bytes=cache_bytes)
     else:
         dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
         tt_ds = _make_corpus(corpus, corpus.get("test_split", corpus["dev_split"]),
                              tokenizer)
         tr_set = AudioBatchLoader(dv_ds, bs, frame_quantum=frame_quantum,
-                                  shuffle=False)
+                                  shuffle=False, cache_bytes=cache_bytes)
         dv_set = AudioBatchLoader(tt_ds, bs, frame_quantum=frame_quantum,
-                                  shuffle=False)
+                                  shuffle=False, cache_bytes=cache_bytes)
     msg = [
         f"I/O spec  | audio feat = {audio.get('feat_type', 'fbank')} "
         f"(dim {feat_dim}) | tokenizer = {text['mode']} "

@@ -19,18 +19,27 @@ def ctc_greedy(ctc_output: jnp.ndarray) -> jnp.ndarray:
 
 
 def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
-               enc_len: jnp.ndarray, max_step: int) -> jnp.ndarray:
+               enc_len: jnp.ndarray, max_step: int,
+               plugin=None, plugin_params=None) -> jnp.ndarray:
     """Self-fed argmax decode for ``max_step`` steps -> (B, U) ids.
     Stops contributing after the first <eos> (ids forced to eos thereafter,
-    which the tokenizer's decode truncates)."""
+    which the tokenizer's decode truncates).
+
+    When an embedding-regularizer ``plugin`` with ``fuse > 0`` is given, the
+    per-step distribution is the fused ``l*P_emb + (1-l)*P_char`` — the
+    reference applies fusion wherever it decodes (SURVEY.md 2.18), including
+    validation greedy decode."""
     B = enc.shape[0]
     cache, state, align = model.init_decode(p, enc, enc_len)
     sos = jnp.full((B,), EOS_IDX, jnp.int32)
+    fuse = plugin is not None and plugin.apply_fuse
 
     def step(carry, _):
         state, align, prev_tok, done = carry
         logits, state, align, _ = model.decode_step(
             p, cache, state, align, prev_tok)
+        if fuse:
+            logits = plugin.fused_log_prob(plugin_params, state.h[-1], logits)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         pred = jnp.where(done, EOS_IDX, pred)
         done = jnp.logical_or(done, pred == EOS_IDX)

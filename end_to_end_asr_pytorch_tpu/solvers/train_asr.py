@@ -186,12 +186,14 @@ class Solver(BaseSolver):
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
         def valid_step(params, wave, wave_len, text, text_len):
+            asr_p = params["asr"] if plugin is not None else params
+            plugin_p = params["plugin"] if plugin is not None else None
             feat, feat_len = frontend(wave, wave_len)
             U = text.shape[1]
             out = {}
-            enc, enc_len = model.encode(params, feat, feat_len)
+            enc, enc_len = model.encode(asr_p, feat, feat_len)
             if model.enable_ctc:
-                ctc_out = model.ctc_output(params, enc)
+                ctc_out = model.ctc_output(asr_p, enc)
                 nll = ctc_loss(ctc_out, enc_len, text, text_len)
                 out["ctc_pred"] = ctc_greedy(ctc_out)
                 valid = (text_len > 0)
@@ -200,19 +202,19 @@ class Solver(BaseSolver):
                                    / jnp.maximum(jnp.sum(valid), 1))
             if model.enable_att:
                 max_dec = int(math.ceil(U * DEV_STEP_RATIO))
-                out["att_pred"] = att_greedy(model, params, enc, enc_len,
-                                             max_dec)
+                # decode-time emb fusion applies in validation greedy decode
+                # too (reference behavior surface, SURVEY.md 2.18)
+                out["att_pred"] = att_greedy(model, asr_p, enc, enc_len,
+                                             max_dec, plugin=plugin,
+                                             plugin_params=plugin_p)
                 # teacher-forced pass for attention plots + att loss
                 _, _, att_out, att_align, _ = model.forward(
-                    params, feat, feat_len, U, 1.0, teacher=text)
+                    asr_p, feat, feat_len, U, 1.0, teacher=text)
                 out["att_loss"] = masked_ce(att_out, text)
                 out["att_align"] = att_align
             return out
 
         self._valid_step = jax.jit(valid_step)
-
-    def _asr_params(self):
-        return self.params["asr"] if self.plugin is not None else self.params
 
     # ----------------------------------------------------------------- exec
     def exec(self):
@@ -266,7 +268,7 @@ class Solver(BaseSolver):
         for batch in self.dv_set:
             batch = pmesh.pad_batch_to(batch, self.n_dev)
             sb = pmesh.shard_batch(self.mesh, batch)
-            out = self._valid_step(self._asr_params(), sb["wave"],
+            out = self._valid_step(self.params, sb["wave"],
                                    sb["wave_len"], sb["text"], sb["text_len"])
             out = jax.device_get(out)
             n_real = int(np.sum(batch["text_len"] > 0))

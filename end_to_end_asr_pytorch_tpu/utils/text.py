@@ -11,10 +11,12 @@ Capability parity with the reference's ``src/text.py`` (SURVEY.md 2.9):
 ``decode(idxs, ignore_repeat=True)`` performs CTC collapse (merge repeats,
 drop blanks) exactly as the reference does for its CTC head output.
 
-Divergence note: the reference's subword mode loads a sentencepiece ``.model``
-(C++ dep, not available here); our subword mode is a self-contained BPE whose
-model is a JSON file produced by ``util/generate_vocab_file.py``. Same
-capability (subword vocab, reversible encode/decode), different file format.
+Subword mode accepts BOTH formats the ecosystem uses:
+- binary sentencepiece ``.model`` files (the reference's format — parsed by
+  ``utils/sentencepiece_model.py``, no sentencepiece dependency, unigram
+  Viterbi segmentation), so existing reference vocab assets port over as-is;
+- the self-contained JSON-BPE produced by ``util/generate_vocab_file.py``.
+The file is sniffed by content (JSON starts with ``{``), not extension.
 """
 from __future__ import annotations
 
@@ -199,6 +201,45 @@ class SubwordTextEncoder(TextEncoder):
         return "".join(pieces).replace(self.BOUNDARY, " ").strip()
 
 
+class SentencePieceTextEncoder(TextEncoder):
+    """Subword encoder over a binary sentencepiece ``.model`` file.
+
+    Uses the model's own piece ids. Models trained for the reference carry
+    the 0=<pad>/blank, 1=<eos>, 2=<unk> layout (its vocab tool trains with
+    pad_id=0, eos_id=1, unk_id=2, bos_id=-1); a mismatched layout raises,
+    since WER parity silently dies on a wrong index contract.
+    """
+
+    def __init__(self, vocab):
+        from .sentencepiece_model import TYPE_NORMAL, TYPE_USER_DEFINED
+        self._sp = vocab
+        if vocab.types[0] in (TYPE_NORMAL, TYPE_USER_DEFINED) or \
+                vocab.types[1] in (TYPE_NORMAL, TYPE_USER_DEFINED):
+            raise ValueError(
+                "sentencepiece model ids 0/1 are normal pieces; this "
+                "framework (like the reference) requires 0=<pad> 1=<eos> "
+                "2=<unk> — retrain with pad_id=0 eos_id=1 unk_id=2 bos_id=-1")
+
+    @classmethod
+    def load_from_file(cls, vocab_file: str) -> "SentencePieceTextEncoder":
+        from .sentencepiece_model import SentencePieceVocab
+        return cls(SentencePieceVocab.load(vocab_file))
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._sp)
+
+    def encode(self, text: str) -> List[int]:
+        return self._sp.encode(text) + [EOS_IDX]
+
+    def _id_to_piece(self, idx: int) -> str:
+        return self._sp.pieces[idx]
+
+    def _join(self, pieces: List[str]) -> str:
+        return "".join(pieces).replace(
+            SubwordTextEncoder.BOUNDARY, " ").strip()
+
+
 def load_text_encoder(mode: str, vocab_file: str) -> TextEncoder:
     """Mirror of reference ``src/text.py:load_text_encoder``."""
     if mode == "character":
@@ -206,5 +247,9 @@ def load_text_encoder(mode: str, vocab_file: str) -> TextEncoder:
     if mode == "word":
         return WordTextEncoder.load_from_file(vocab_file)
     if mode == "subword":
-        return SubwordTextEncoder.load_from_file(vocab_file)
+        with open(vocab_file, "rb") as f:
+            head = f.read(1)
+        if head == b"{":  # JSON-BPE (this repo's vocab tool)
+            return SubwordTextEncoder.load_from_file(vocab_file)
+        return SentencePieceTextEncoder.load_from_file(vocab_file)
     raise NotImplementedError(f"unknown text mode: {mode!r}")

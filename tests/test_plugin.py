@@ -56,6 +56,37 @@ def test_plugin_loss_and_fusion(emb_file):
                                rtol=1e-3)
 
 
+def test_fused_greedy_differs_from_unfused(emb_file):
+    """Fusion must actually alter validation/greedy decode when fuse > 0
+    (VERDICT round-1 item 10)."""
+    from end_to_end_asr_pytorch_tpu.decode.greedy import att_greedy
+    from end_to_end_asr_pytorch_tpu.models.asr import ASR
+    cfg = {
+        "ctc_weight": 0.0,
+        "encoder": {"prenet": "", "module": "LSTM", "bidirection": True,
+                    "dim": [16], "sample_rate": [2], "sample_style": "drop"},
+        "attention": {"mode": "dot", "dim": 8, "num_head": 1},
+        "decoder": {"module": "LSTM", "dim": DEC, "layer": 1},
+    }
+    model = ASR(8, V, cfg)
+    params = model.init(jax.random.PRNGKey(2))
+    plug = EmbeddingRegularizer(
+        {"src": str(emb_file), "weight": 0.5, "fuse": 0.9, "temp": 0.1},
+        V, DEC)
+    pp = plug.init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(4)
+    feat = jnp.asarray(rng.randn(3, 20, 8), jnp.float32)
+    feat_len = jnp.full((3,), 20, jnp.int32)
+    enc, enc_len = model.encode(params, feat, feat_len)
+    plain = att_greedy(model, params, enc, enc_len, 8)
+    fused = att_greedy(model, params, enc, enc_len, 8, plugin=plug,
+                       plugin_params=pp)
+    assert plain.shape == fused.shape == (3, 8)
+    # an untrained model + aggressive fusion (lambda .9, temp .1) must
+    # change at least one decoded id; identical output means fusion is dead
+    assert not np.array_equal(np.asarray(plain), np.asarray(fused))
+
+
 def test_train_with_plugin(tmp_path, emb_file):
     from end_to_end_asr_pytorch_tpu.solvers.train_asr import Solver
     root = tmp_path / "synth"
