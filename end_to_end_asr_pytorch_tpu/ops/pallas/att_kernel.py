@@ -48,7 +48,8 @@ def _kernel(qb_ref, keys_ref, fsm_ref, wf_ref, v_ref, vals_ref, len_ref,
     align_ref[0] = align
 
     ctx_ref[0] = jnp.dot(align, vals,
-                         preferred_element_type=jnp.float32)  # (K, vdim)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.DEFAULT)  # (K, vdim)
 
 
 @functools.partial(jax.jit,

@@ -29,8 +29,11 @@ def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
         h_scr[...] = jnp.zeros((B, H), jnp.float32)
 
     h = h_scr[...]
+    # precision pinned DEFAULT (see lstm_kernel): immune to global
+    # jax_default_matmul_precision overrides that OOM Mosaic's stack
     hp = jnp.dot(h, whh_ref[...],
-                 preferred_element_type=jnp.float32) + bhh_ref[...]
+                 preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.DEFAULT) + bhh_ref[...]
     xp = xp_ref[0]
     r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
     z = jax.nn.sigmoid(xp[:, H:2 * H] + hp[:, H:2 * H])
@@ -79,7 +82,8 @@ def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
     dxp = m * dxp
     dhp = m * dhp
     dh_prev = (jnp.dot(dhp, whh_t_ref[...],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
                + m * dh_direct)
     dh_scr[...] = dh_prev + (1.0 - m) * dh_carry
     dxp_ref[0] = dxp

@@ -47,8 +47,14 @@ def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
     c = c_scr[...]
     whh = whh_ref[...]
     for u in range(U):
+        # precision pinned DEFAULT: the recurrent matmul runs bf16-multiply
+        # + f32-accumulate by design (cuDNN-tensor-core-style numerics). A
+        # global jax_default_matmul_precision='highest' would otherwise leak
+        # in here and blow Mosaic's scoped-VMEM stack (compile OOM at
+        # small T) while 6x-ing the serial step cost.
         gates = xp_ref[u] + jnp.dot(h, whh,
-                                    preferred_element_type=jnp.float32)
+                                    preferred_element_type=jnp.float32,
+                                    precision=jax.lax.Precision.DEFAULT)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -143,7 +149,8 @@ def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
         # step corresponds to an identically-zero output and is dropped)
         dgates = m * dgates
         dh_prev = jnp.dot(dgates, whh_t,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.DEFAULT)
         dh_carry = dh_prev + (1.0 - m) * dh_carry
         dc_carry = m * dc_prev + (1.0 - m) * dc_carry
         dxp_ref[u] = dgates
