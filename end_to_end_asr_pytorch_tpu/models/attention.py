@@ -44,6 +44,7 @@ class AttCache(NamedTuple):
     values: jnp.ndarray    # (B, T, H*v_dim) or raw enc (B, T, Dk)
     mask: jnp.ndarray      # (B, T) bool valid
     inv_len: jnp.ndarray   # (B, 1) 1/enc_len
+    loc_band: Optional[jnp.ndarray] = None  # (T, T*n_filt) Toeplitz loc conv
 
 
 class Attention:
@@ -97,13 +98,20 @@ class Attention:
                                v_energy)
 
     def precompute(self, p: AttentionParams, enc: jnp.ndarray,
-                   enc_len: jnp.ndarray, pad_lanes: bool = False) -> AttCache:
+                   enc_len: jnp.ndarray, pad_lanes: bool = False,
+                   amp: bool = False) -> AttCache:
         """enc (B, T, Dk), enc_len (B,) -> cached projections.
 
         pad_lanes=True zero-pads the per-head dim to the 128-lane boundary —
         used by the beam decoder, where it removes 27 MB/step relayout
         copies (+10% decode); the training scan skips it (the extra padded
-        flops over U label steps measured a net slowdown there)."""
+        flops over U label steps measured a net slowdown there).
+
+        amp=True stores keys/values in bfloat16: they are re-read from HBM
+        on EVERY decode step (the beam loop's dominant bandwidth), so this
+        halves that traffic; the energy chain then runs bf16 with f32
+        softmax/score accumulation. Measured top-1 beam sequences identical
+        to f32 (n-best tails can reorder within rounding)."""
         B, T, _ = enc.shape
         keys = jnp.dot(enc, p.w_k, preferred_element_type=jnp.float32)
         keys = keys.reshape(B, T, self.num_head, self.dim).transpose(0, 2, 1, 3)
@@ -112,9 +120,32 @@ class Attention:
                                   (0, self.d_pad - self.dim)))
         vals = (jnp.dot(enc, p.w_v, preferred_element_type=jnp.float32)
                 if p.w_v is not None else enc)
+        if amp:
+            keys = keys.astype(jnp.bfloat16)
+            vals = vals.astype(jnp.bfloat16)
         mask = jnp.arange(T)[None, :] < enc_len[:, None]
         inv_len = 1.0 / jnp.maximum(enc_len, 1).astype(jnp.float32)
-        return AttCache(keys, vals, mask, inv_len[:, None])
+        loc_band = (self._loc_band(p, T) if self.mode == "loc" else None)
+        return AttCache(keys, vals, mask, inv_len[:, None], loc_band)
+
+    def _loc_band(self, p: AttentionParams, T: int) -> jnp.ndarray:
+        """Location conv as a (T, T*F) Toeplitz band matrix.
+
+        Computed once per decode call (loop-invariant); the beam loop then
+        gets its location features from ONE clean (B*K, T) @ (T, T*F)
+        matmul instead of a strided conv over (B*K, T, 1) — which profiled
+        at 124 us/step at B=128 (a 75 us layout copy feeding a 49 us conv).
+        Matches XLA's SAME-padding conv semantics exactly (incl. even
+        kernel sizes): verified to fp32 rounding in tests."""
+        ks, _, F = p.loc_conv.shape
+        pad_low = (ks - 1) // 2
+        t_in = jnp.arange(T)[:, None]
+        t_out = jnp.arange(T)[None, :]
+        idx = t_in - t_out + pad_low
+        valid = (idx >= 0) & (idx < ks)
+        W = jnp.where(valid[..., None],
+                      p.loc_conv[jnp.clip(idx, 0, ks - 1), 0, :], 0.0)
+        return W.reshape(T, T * F).astype(jnp.float32)
 
     def init_align(self, cache: AttCache) -> jnp.ndarray:
         """Alignment 'before step 0': uniform over valid frames (B, H, T).
@@ -183,32 +214,35 @@ class Attention:
         q = jnp.pad(q.reshape(B, K, H, self.dim),
                     ((0, 0), (0, 0), (0, 0), (0, pad)))
 
+        cd = cache.keys.dtype  # f32, or bf16 under decode-time amp
         if self.mode == "dot":
-            energy = jnp.einsum("bkhd,bhtd->bkht", q, cache.keys,
+            energy = jnp.einsum("bkhd,bhtd->bkht", q.astype(cd), cache.keys,
                                 preferred_element_type=jnp.float32)
         else:
-            a = jnp.sum(prev_align, axis=2).reshape(B * K, T, 1)
+            # location features via the Toeplitz band matmul (see _loc_band):
+            # (B*K, T) @ (T, T*F) -> (B*K, T, F), then project F -> d. Two
+            # clean MXU matmuls, no conv, no layout copies — and ~7x fewer
+            # FLOPs than folding w_f into the conv kernel did.
+            a = jnp.sum(prev_align, axis=2).reshape(B * K, T)
+            fsm = jnp.dot(a, cache.loc_band,
+                          preferred_element_type=jnp.float32)
+            F = cache.loc_band.shape[-1] // T
             if not (self.use_pallas and H == 1 and p.w_v is not None):
-                # the conv and the w_f projection are both linear, so w_f
-                # folds into the conv kernel: conv(a, k) @ w_f ==
-                # conv(a, k @ w_f). This removes a (B*K, T, d) matmul output
-                # plus the 27 MB layout copy XLA inserted after it (profiled
-                # at 23us/decode-step).
-                kernel = jnp.einsum(
-                    "kif,fd->kid", p.loc_conv.astype(jnp.float32),
-                    jnp.pad(p.w_f, ((0, 0), (0, pad))),
-                    preferred_element_type=jnp.float32)
-                f = jax.lax.conv_general_dilated(
-                    a.astype(jnp.float32), kernel,
-                    window_strides=(1,), padding="SAME",
-                    dimension_numbers=("NWC", "WIO", "NWC"))  # (B*K, T, d)
+                f = jnp.dot(fsm.reshape(B * K * T, F),
+                            jnp.pad(p.w_f, ((0, 0), (0, pad))),
+                            preferred_element_type=jnp.float32)
                 f = f.reshape(B, K, T, d)
                 qb = q + jnp.pad(p.bias.reshape(H, self.dim),
                                  ((0, 0), (0, pad)))[None, None]
-                tanh_arg = (qb[:, :, :, None, :] + cache.keys[:, None]
-                            + f[:, :, None, :, :])            # (B,K,H,T,d)
+                # the (B,K,H,T,d) tanh chain runs in the cache dtype (bf16
+                # under amp: halves the step's dominant HBM traffic); the
+                # energy reduction and softmax accumulate in f32
+                tanh_arg = (qb.astype(cd)[:, :, :, None, :]
+                            + cache.keys[:, None]
+                            + f.astype(cd)[:, :, None, :, :])  # (B,K,H,T,d)
                 energy = jnp.einsum("bkhtd,hd->bkht", jnp.tanh(tanh_arg),
-                                    jnp.pad(p.v_energy, ((0, 0), (0, pad))),
+                                    jnp.pad(p.v_energy,
+                                            ((0, 0), (0, pad))).astype(cd),
                                     preferred_element_type=jnp.float32)
                 energy = energy / self.temperature
                 energy = jnp.where(cache.mask[:, None, None, :], energy,
@@ -216,52 +250,40 @@ class Attention:
                 align = jax.nn.softmax(energy, axis=-1)
                 if p.w_v is not None:
                     vals = cache.values.reshape(B, T, H, self.v_dim)
-                    ctx = jnp.einsum("bkht,bthv->bkhv", align, vals,
+                    ctx = jnp.einsum("bkht,bthv->bkhv", align.astype(cd),
+                                     vals,
                                      preferred_element_type=jnp.float32)
                 else:
-                    ctx = jnp.einsum("bkht,btv->bkhv", align, cache.values,
+                    ctx = jnp.einsum("bkht,btv->bkhv", align.astype(cd),
+                                     cache.values,
                                      preferred_element_type=jnp.float32)
                 ctx = ctx.reshape(B, K, H * self.v_dim)
                 if p.w_merge is not None:
                     ctx = jnp.dot(ctx, p.w_merge,
                                   preferred_element_type=jnp.float32)
                 return ctx, align
-            f_small = jax.lax.conv_general_dilated(
-                a.astype(p.loc_conv.dtype), p.loc_conv,
-                window_strides=(1,), padding="SAME",
-                dimension_numbers=("NWC", "WIO", "NWC"))      # (B*K, T, F)
-            if self.use_pallas and H == 1 and p.w_v is not None:
-                from ..ops.pallas.att_kernel import loc_attention_fused
-                qb = q[:, :, 0] + jnp.pad(p.bias, (0, pad))[None, None]
-                enc_len = jnp.sum(cache.mask.astype(jnp.int32), axis=1)
-                F = f_small.shape[-1]
-                ctx, align = loc_attention_fused(
-                    qb, cache.keys[:, 0],
-                    f_small.reshape(B, K, T, F).astype(jnp.float32),
-                    jnp.pad(p.w_f, ((0, 0), (0, pad))),
-                    jnp.pad(p.v_energy[0], (0, pad)), cache.values, enc_len,
-                    temperature=self.temperature)
-                return ctx, align[:, :, None, :]
-            f = jnp.dot(f_small, jnp.pad(p.w_f, ((0, 0), (0, pad))),
-                        preferred_element_type=jnp.float32)   # (B*K, T, d)
-            f = f.reshape(B, K, T, d)
-            qb = q + jnp.pad(p.bias.reshape(H, self.dim),
-                             ((0, 0), (0, pad)))[None, None]
-            tanh_arg = (qb[:, :, :, None, :] + cache.keys[:, None]
-                        + f[:, :, None, :, :])                # (B,K,H,T,d)
-            energy = jnp.einsum("bkhtd,hd->bkht", jnp.tanh(tanh_arg),
-                                jnp.pad(p.v_energy, ((0, 0), (0, pad))),
-                                preferred_element_type=jnp.float32)
+            from ..ops.pallas.att_kernel import loc_attention_fused
+            qb = q[:, :, 0] + jnp.pad(p.bias, (0, pad))[None, None]
+            enc_len = jnp.sum(cache.mask.astype(jnp.int32), axis=1)
+            ctx, align = loc_attention_fused(  # kernel is f32-only
+                qb, cache.keys[:, 0].astype(jnp.float32),
+                fsm.reshape(B, K, T, F),
+                jnp.pad(p.w_f, ((0, 0), (0, pad))),
+                jnp.pad(p.v_energy[0], (0, pad)),
+                cache.values.astype(jnp.float32), enc_len,
+                temperature=self.temperature)
+            return ctx, align[:, :, None, :]
         energy = energy / self.temperature
         energy = jnp.where(cache.mask[:, None, None, :], energy, -1e30)
         align = jax.nn.softmax(energy, axis=-1)               # (B, K, H, T)
 
         if p.w_v is not None:
             vals = cache.values.reshape(B, T, H, self.v_dim)
-            ctx = jnp.einsum("bkht,bthv->bkhv", align, vals,
+            ctx = jnp.einsum("bkht,bthv->bkhv", align.astype(cd), vals,
                              preferred_element_type=jnp.float32)
         else:
-            ctx = jnp.einsum("bkht,btv->bkhv", align, cache.values,
+            ctx = jnp.einsum("bkht,btv->bkhv", align.astype(cd),
+                             cache.values,
                              preferred_element_type=jnp.float32)
         ctx = ctx.reshape(B, K, H * self.v_dim)
         if p.w_merge is not None:

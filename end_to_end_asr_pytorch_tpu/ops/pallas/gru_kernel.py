@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .lstm_kernel import _pick_b_tile
+
 
 def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
                 hpn_ref, h_scr, *, B: int, H: int):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
@@ -51,7 +53,7 @@ def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
 
 def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
                 dys_ref, dxp_ref, dhp_ref, dh_scr, *, B: int, H: int):
-    idx = pl.program_id(0)
+    idx = pl.program_id(1)
 
     @pl.when(idx == 0)
     def _():
@@ -93,25 +95,26 @@ def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
 def _run_fwd(x_proj, mask, w_hh, b_hh, interpret=False):
     T, B, G = x_proj.shape
     H = G // 3
+    TB = _pick_b_tile(B)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, B=B, H=H),
-        grid=(T,),
+        functools.partial(_fwd_kernel, B=TB, H=H),
+        grid=(B // TB, T),
         in_specs=[
-            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, TB, 3 * H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 3 * H), lambda t: (0, 0),
+            pl.BlockSpec((H, 3 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * H), lambda t: (0, 0),
+            pl.BlockSpec((1, 3 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, TB, 1), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 3 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, TB, 3 * H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -119,7 +122,7 @@ def _run_fwd(x_proj, mask, w_hh, b_hh, interpret=False):
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],
         interpret=interpret,
     )(x_proj, w_hh, b_hh.reshape(1, -1), mask)
 
@@ -129,28 +132,29 @@ def _run_bwd(gates, hpn, ys, mask, w_hh, dys, interpret=False):
     H = G // 3
     zeros_bh = jnp.zeros((1, B, H), jnp.float32)
     hs_prev = jnp.concatenate([zeros_bh, ys[:-1]], axis=0)
-    rev = lambda t: (T - 1 - t, 0, 0)
+    TB = _pick_b_tile(B)
+    rev = lambda b, t: (T - 1 - t, b, 0)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, H=H),
-        grid=(T,),
+        functools.partial(_bwd_kernel, B=TB, H=H),
+        grid=(B // TB, T),
         in_specs=[
-            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * H, H), lambda t: (0, 0),
+            pl.BlockSpec((1, TB, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * H, H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, 3 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, 3 * H), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],
         interpret=interpret,
     )(gates, hpn, hs_prev, mask, w_hh.T, dys)
 

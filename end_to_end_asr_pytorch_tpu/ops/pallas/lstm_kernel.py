@@ -32,11 +32,25 @@ from jax.experimental.pallas import tpu as pltpu
 # overhead that dominates these latency-bound tiny recurrent steps
 UNROLL = 4
 
+# batch rows per grid iteration: bounds VMEM (the U-step input/gate blocks
+# scale with the batch tile, and the (H, 4H) recurrent weights are resident
+# twice for pipelining) — large batches OOM'd the 16 MB scoped-VMEM limit
+# without this. The carry scratch is reset at each batch-tile's first time
+# block, so tiles are independent.
+B_TILE = 32
+
+
+def _pick_b_tile(B: int) -> int:
+    for tb in (B_TILE, 16, 8):
+        if B % tb == 0:
+            return tb
+    return B
+
 
 # ------------------------------------------------------------------ forward
 def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
                 h_scr, c_scr, *, B: int, H: int, U: int):
-    tt = pl.program_id(0)
+    tt = pl.program_id(1)          # time block (sequential, inner)
 
     @pl.when(tt == 0)
     def _():
@@ -76,23 +90,24 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
     T, B, G = x_proj.shape
     H = G // 4
     U = UNROLL if T % UNROLL == 0 else 1
+    TB = _pick_b_tile(B)
     ys, cs, gates = pl.pallas_call(
-        functools.partial(_fwd_kernel, B=B, H=H, U=U),
-        grid=(T // U,),
+        functools.partial(_fwd_kernel, B=TB, H=H, U=U),
+        grid=(B // TB, T // U),
         in_specs=[
-            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, TB, 4 * H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, 4 * H), lambda t: (0, 0),
+            pl.BlockSpec((H, 4 * H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, 1), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, TB, 1), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, TB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, TB, H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, 4 * H), lambda t: (t, 0, 0),
+            pl.BlockSpec((U, TB, 4 * H), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -101,8 +116,8 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
             jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
         ],
         interpret=interpret,
     )(x_proj, w_hh, mask)
@@ -113,7 +128,7 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
 def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
                 whh_t_ref, dys_ref, dxp_ref,
                 dh_scr, dc_scr, *, B: int, H: int, NB: int, U: int):
-    idx = pl.program_id(0)                      # block 0 holds the LAST U ts
+    idx = pl.program_id(1)                      # block 0 holds the LAST U ts
 
     @pl.when(idx == 0)
     def _():
@@ -162,29 +177,31 @@ def _run_bwd(gates, cs, ys, mask, w_hh, dys, interpret=False):
     H = G // 4
     U = UNROLL if T % UNROLL == 0 else 1
     NB = T // U
+    TB = _pick_b_tile(B)
     # previous-step tensors (index t-1, zeros at t=0)
     zeros_bh = jnp.zeros((1, B, H), jnp.float32)
     cs_prev = jnp.concatenate([zeros_bh, cs[:-1]], axis=0)
     hs_prev = jnp.concatenate([zeros_bh, ys[:-1]], axis=0)
 
-    rev = lambda t: (NB - 1 - t, 0, 0)
+    rev = lambda b, t: (NB - 1 - t, b, 0)
     dxp = pl.pallas_call(
-        functools.partial(_bwd_kernel, B=B, H=H, NB=NB, U=U),
-        grid=(NB,),
+        functools.partial(_bwd_kernel, B=TB, H=H, NB=NB, U=U),
+        grid=(B // TB, NB),
         in_specs=[
-            pl.BlockSpec((U, B, 4 * H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, 1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((4 * H, H), lambda t: (0, 0),
+            pl.BlockSpec((U, TB, 4 * H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, TB, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, TB, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, TB, 1), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * H, H), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((U, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((U, TB, H), rev, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((U, B, 4 * H), rev, memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((U, TB, 4 * H), rev,
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
         ],
         interpret=interpret,
     )(gates, cs, cs_prev, mask, w_hh.T, dys)

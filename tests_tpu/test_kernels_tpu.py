@@ -197,3 +197,21 @@ def test_att_fused_compiled():
     # masking must be exact: no alignment mass past enc_len
     past = np.asarray(al)[..., 48:][1]  # utt 1 has enc_len 48
     assert past.max() < 1e-6
+
+
+def test_lstm_fused_large_batch_compiles():
+    """B=128 at T=176/H=512 OOM'd the 16 MB scoped-VMEM limit before the
+    kernel grew a batch-tile grid dimension; values must also still match."""
+    Tl, Bl = 48, 128
+    w = rnn_ops.init_lstm(jax.random.PRNGKey(7), D, H)
+    x = jnp.asarray(np.random.RandomState(7).randn(Tl, Bl, D), jnp.float32)
+    lens = np.full(Bl, Tl); lens[::3] = 20; lens[1::5] = 37
+    mask = jnp.asarray(np.arange(Tl)[:, None] < lens[None, :])
+    x_proj = jnp.dot(x, w.w_ih) + w.b
+    z = jnp.zeros((Bl, H))
+    ref = jax.jit(lambda xx, mm, zz: rnn_ops.lstm_scan(
+        w, xx, mm, h0=zz, c0=zz))(x, mask, z)
+    got = jax.jit(lambda xp, whh, mm: lstm_scan_fused(
+        xp, whh, mm, False))(x_proj, w.w_hh, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=2e-3)
