@@ -44,7 +44,7 @@ DECODE_CFG = {"beam_size": 8, "min_len_ratio": 0.05, "max_len_ratio": 0.6,
 VOCAB = 31
 BATCH = 128            # throughput-optimal on one v5e chip (measured: 16 ->
                        # 1341, 32 -> 1548, 128 -> 1743, 256 -> 1585 utts/s)
-N_BATCHES = 4          # timed batches (after warmup/compile); the TPU
+N_BATCHES = 8          # timed batches (after warmup/compile); the TPU
                        # tunnel shows ~±6% run-to-run noise at small N
 SECS = 7.0             # ~LibriSpeech test-clean mean utterance length
 SEED = 0
