@@ -117,3 +117,24 @@ def test_json_bpe_still_loads(tmp_path):
     enc = load_text_encoder("subword", str(p))
     assert enc.vocab_size == 5
     assert enc.encode("a b")[-1] == 1
+
+
+def test_vocab_tool_emits_spm_binary(tmp_path):
+    """`generate_vocab_file.py --format spm` output loads through the
+    sentencepiece reader and round-trips training text."""
+    import subprocess
+    repo = Path(__file__).resolve().parent.parent
+    text = tmp_path / "text.txt"
+    text.write_text("the cat sat on the mat\nthe dog sat on the log\n" * 20)
+    model = tmp_path / "uni.model"
+    r = subprocess.run(
+        [sys.executable, str(repo / "util" / "generate_vocab_file.py"),
+         "--input_file", str(text), "--mode", "subword",
+         "--output_file", str(model), "--vocab_size", "40",
+         "--format", "spm"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    enc = load_text_encoder("subword", str(model))
+    assert isinstance(enc, SentencePieceTextEncoder)
+    for s in ("the cat sat", "dog on log", "the mat"):
+        assert enc.decode(enc.encode(s)) == s

@@ -13,6 +13,13 @@ Usage:
       --vocab_size 5000
   python util/generate_vocab_file.py --input_file txt --mode subword --output_file bpe.json \
       --vocab_size 1000
+  python util/generate_vocab_file.py --input_file txt --mode subword --output_file bpe.model \
+      --vocab_size 1000 --format spm    # binary sentencepiece-compatible
+
+``--format spm`` writes a binary sentencepiece ``.model`` (unigram scores =
+log piece frequency under the trained segmentation) readable by BOTH this
+framework's tokenizer and actual sentencepiece — assets flow either way
+between this framework and the reference.
 """
 import argparse
 import collections
@@ -96,7 +103,7 @@ def train_bpe(lines, vocab_size):
             use[p] += word_freq[w]
     ordered = [p for p, _ in use.most_common()]
     ordered += sorted(vocab - set(ordered))
-    return ordered, merges
+    return ordered, merges, use
 
 
 def main():
@@ -105,6 +112,9 @@ def main():
     ap.add_argument("--output_file", required=True)
     ap.add_argument("--mode", required=True, choices=["character", "word", "subword"])
     ap.add_argument("--vocab_size", type=int, default=5000)
+    ap.add_argument("--format", default="json", choices=["json", "spm"],
+                    help="subword model format: json (this repo's BPE) or "
+                         "spm (binary sentencepiece-compatible unigram)")
     args = ap.parse_args()
 
     lines = read_lines(args.input_file)
@@ -114,11 +124,26 @@ def main():
     elif args.mode == "word":
         with open(args.output_file, "w", encoding="utf-8") as f:
             f.write("\n".join(gen_word_vocab(lines, args.vocab_size)) + "\n")
-    else:
-        pieces, merges = train_bpe(lines, args.vocab_size)
+    elif args.format == "json":
+        pieces, merges, _ = train_bpe(lines, args.vocab_size)
         model = {"vocab": RESERVED + pieces, "merges": merges}
         with open(args.output_file, "w", encoding="utf-8") as f:
             json.dump(model, f, ensure_ascii=False)
+    else:  # spm: binary sentencepiece ModelProto, unigram scores
+        import math
+        from end_to_end_asr_pytorch_tpu.utils.sentencepiece_model import (
+            TYPE_CONTROL, TYPE_NORMAL, TYPE_UNKNOWN, serialize_model_proto)
+        pieces, merges, use = train_bpe(lines, args.vocab_size)
+        total = max(sum(use.values()), 1)
+        floor = math.log(0.5 / total)  # unseen pieces: below every real one
+        entries = [("<pad>", 0.0, TYPE_CONTROL), ("</s>", 0.0, TYPE_CONTROL),
+                   ("<unk>", 0.0, TYPE_UNKNOWN)]
+        for piece in pieces:
+            score = (math.log(use[piece] / total) if use[piece] > 0
+                     else floor)
+            entries.append((piece, score, TYPE_NORMAL))
+        with open(args.output_file, "wb") as f:
+            f.write(serialize_model_proto(entries))
     print(f"wrote {args.mode} model to {args.output_file}")
 
 
