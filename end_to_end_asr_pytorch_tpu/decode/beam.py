@@ -113,6 +113,23 @@ class BeamDecoder:
                 plugin_params=None) -> BeamOutput:
         model, K = self.model, self.beam
         V = model.vocab_size
+        if self.amp:
+            # decode-time amp runs the WHOLE forward in bfloat16 (params +
+            # activations): encoder conv/LSTM activation traffic halves
+            # (encode was ~40% of decode wall at batch 128) and the beam
+            # loop's cell weights/embedding reads halve. Score-critical
+            # numerics stay f32 by construction: ctc_output log-softmaxes in
+            # f32, every cell/logit matmul accumulates f32
+            # (preferred_element_type), and all beam scores/psi/softmax are
+            # f32 carries.
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, t)
+            p = cast(p)
+            feat = (feat.astype(jnp.bfloat16)
+                    if feat.dtype == jnp.float32 else feat)
+            if lm_params is not None:
+                lm_params = cast(lm_params)
         enc, enc_len = model.encode(p, feat, feat_len)
         B, T, _ = enc.shape
         L = max(1, int(math.ceil(self.max_len_ratio * T)))

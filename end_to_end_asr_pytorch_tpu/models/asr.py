@@ -99,7 +99,10 @@ class ASR:
     def init_decode(self, p: ASRParams, enc, enc_len
                     ) -> Tuple[AttCache, DecoderState, jnp.ndarray]:
         B = enc.shape[0]
-        cache = self.attention.precompute(p.attention, enc, enc_len)
+        # amp training (bf16 enc) keeps the attention cache in bf16 so the
+        # per-label-step tanh chain and its VJP run at half the HBM traffic
+        cache = self.attention.precompute(
+            p.attention, enc, enc_len, amp=(enc.dtype == jnp.bfloat16))
         state = self.decoder.init_state(B, enc.dtype)
         align = self.attention.init_align(cache)
         return cache, state, align
@@ -197,8 +200,12 @@ class ASR:
                                               self.decoder.query(state))
 
             ts = jnp.arange(decode_step)
+            # unroll=4: the label scan's per-step carry get/update boilerplate
+            # profiled at ~48 ms/step (half the train step) at B=128/U=96 —
+            # the same fix as the beam loop's unroll (BASELINE.md round 2)
             (state, align, _), (att_out, att_align, dec_outs) = jax.lax.scan(
-                scan_step, (state, align, sos), (ts, coins, step_rngs))
+                scan_step, (state, align, sos), (ts, coins, step_rngs),
+                unroll=4)
             att_out = jnp.swapaxes(att_out, 0, 1)        # (B, U, V)
             att_align = jnp.swapaxes(att_align, 0, 1)    # (B, U, H, T')
             dec_state = (jnp.swapaxes(dec_outs, 0, 1) if get_dec_state

@@ -160,11 +160,14 @@ class Attention:
         (context (B, context_dim), align (B, H, T))."""
         B, H, T, d = cache.keys.shape        # d == dim, or d_pad if padded
         pad = d - self.dim
+        cd = cache.keys.dtype  # f32, or bf16 when the cache was built with
+        # amp (training --amp builds a bf16 cache: the tanh chain + its VJP
+        # then run bf16, halving the label scan's per-step key traffic)
         q = jnp.dot(query, p.w_q, preferred_element_type=jnp.float32)
         q = jnp.pad(q.reshape(B, H, self.dim), ((0, 0), (0, 0), (0, pad)))
 
         if self.mode == "dot":
-            energy = jnp.einsum("bhd,bhtd->bht", q, cache.keys,
+            energy = jnp.einsum("bhd,bhtd->bht", q.astype(cd), cache.keys,
                                 preferred_element_type=jnp.float32)
         else:
             a = jnp.sum(prev_align, axis=1)[:, :, None]           # (B, T, 1)
@@ -176,9 +179,11 @@ class Attention:
                         preferred_element_type=jnp.float32)
             qb = q + jnp.pad(p.bias.reshape(H, self.dim),
                              ((0, 0), (0, pad)))[None]
-            tanh_arg = qb[:, :, None, :] + cache.keys + f[:, None, :, :]
+            tanh_arg = (qb.astype(cd)[:, :, None, :] + cache.keys
+                        + f.astype(cd)[:, None, :, :])
             v_pad = jnp.pad(p.v_energy, ((0, 0), (0, pad)))
-            energy = jnp.einsum("bhtd,hd->bht", jnp.tanh(tanh_arg), v_pad,
+            energy = jnp.einsum("bhtd,hd->bht", jnp.tanh(tanh_arg),
+                                v_pad.astype(cd),
                                 preferred_element_type=jnp.float32)
         energy = energy / self.temperature
         energy = jnp.where(cache.mask[:, None, :], energy, -1e30)
@@ -186,11 +191,11 @@ class Attention:
 
         if p.w_v is not None:
             vals = cache.values.reshape(B, T, H, self.v_dim).transpose(0, 2, 1, 3)
-            ctx = jnp.einsum("bht,bhtv->bhv", align, vals,
+            ctx = jnp.einsum("bht,bhtv->bhv", align.astype(cd), vals,
                              preferred_element_type=jnp.float32)
             ctx = ctx.reshape(B, H * self.v_dim)
         else:
-            ctx = jnp.einsum("bht,btv->bhv", align, cache.values,
+            ctx = jnp.einsum("bht,btv->bhv", align.astype(cd), cache.values,
                              preferred_element_type=jnp.float32)
             ctx = ctx.reshape(B, H * self.v_dim)
         if p.w_merge is not None:

@@ -66,9 +66,11 @@ def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
         # global jax_default_matmul_precision='highest' would otherwise leak
         # in here and blow Mosaic's scoped-VMEM stack (compile OOM at
         # small T) while 6x-ing the serial step cost.
-        gates = xp_ref[u] + jnp.dot(h, whh,
-                                    preferred_element_type=jnp.float32,
-                                    precision=jax.lax.Precision.DEFAULT)
+        # xp may stream in as bf16 (amp: halves the dominant (T,B,4H) HBM
+        # read); the gate math always accumulates f32.
+        gates = xp_ref[u].astype(jnp.float32) + jnp.dot(
+            h, whh, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -79,7 +81,7 @@ def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
         m = mask_ref[u]                              # (B, 1) float 0/1
         h = m * h_new + (1.0 - m) * h
         c = m * c_new + (1.0 - m) * c
-        ys_ref[u] = m * h_new
+        ys_ref[u] = (m * h_new).astype(ys_ref.dtype)
         cs_ref[u] = c
         gates_ref[u] = jnp.concatenate([i, f, g, o], axis=-1)
     h_scr[...] = h
@@ -111,7 +113,8 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            # ys in the input dtype (bf16 under amp); residuals stay f32
+            jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
         ],
@@ -148,7 +151,7 @@ def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
         c_prev = cs_prev_ref[u]
         m = mask_ref[u]                         # (B, 1)
 
-        dh = dh_carry + dys_ref[u]
+        dh = dh_carry + dys_ref[u].astype(jnp.float32)
         tc = jnp.tanh(c_t)
         do = dh * tc
         dc = dc_carry + dh * o * (1.0 - tc * tc)
@@ -168,7 +171,7 @@ def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
                           precision=jax.lax.Precision.DEFAULT)
         dh_carry = dh_prev + (1.0 - m) * dh_carry
         dc_carry = m * dc_prev + (1.0 - m) * dc_carry
-        dxp_ref[u] = dgates
+        dxp_ref[u] = dgates.astype(dxp_ref.dtype)
     dh_scr[...] = dh_carry
     dc_scr[...] = dc_carry
 
@@ -198,7 +201,8 @@ def _run_bwd(gates, cs, ys, mask, w_hh, dys, interpret=False):
         ],
         out_specs=pl.BlockSpec((U, TB, 4 * H), rev,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
+        # dxp must match the primal x_proj dtype (bf16 under amp)
+        out_shape=jax.ShapeDtypeStruct((T, B, 4 * H), dys.dtype),
         scratch_shapes=[
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.VMEM((TB, H), jnp.float32),

@@ -109,10 +109,11 @@ def lstm_scan(w: LSTMWeights, x: jnp.ndarray, mask: jnp.ndarray,
     H = w.w_hh.shape[0]
     if h0 is None and c0 is None and _fused_ok(x):
         from .pallas.lstm_kernel import lstm_scan_fused
-        # input projection on the MXU in x's dtype; the kernel runs its
-        # recurrence in f32 and the output is cast back to the carry dtype
+        # input projection on the MXU; streamed to the kernel in x's dtype
+        # (bf16 under amp halves the dominant (T,B,4H) HBM traffic; the
+        # kernel's recurrence always accumulates f32 internally)
         x_proj = (jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32)
-                  + w.b).astype(jnp.float32)
+                  + w.b).astype(x.dtype)
         w_hh = w.w_hh.astype(jnp.float32)
         ys = lstm_scan_fused(x_proj, w_hh, mask, reverse, False)
         return ys.astype(x.dtype)

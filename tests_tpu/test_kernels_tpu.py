@@ -215,3 +215,37 @@ def test_lstm_fused_large_batch_compiles():
         xp, whh, mm, False))(x_proj, w.w_hh, mask)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=2e-3)
+
+
+def test_lstm_fused_bf16_io_compiled():
+    """amp path: bf16 x_proj/ys streaming with f32 in-kernel recurrence.
+
+    fwd must track the f32-I/O kernel to bf16 rounding; grads (dxp bf16,
+    dwhh f32) must stay finite and close to the f32 kernel's.
+    """
+    w = rnn_ops.init_lstm(jax.random.PRNGKey(3), D, H)
+    x = jnp.asarray(np.random.RandomState(3).randn(T, B, D), jnp.float32)
+    mask = _mask()
+    x_proj = (jnp.dot(x, w.w_ih) + w.b).astype(jnp.float32)
+    xp16 = x_proj.astype(jnp.bfloat16)
+    cot = jnp.asarray(np.random.RandomState(4).randn(T, B, H), jnp.float32)
+
+    f32 = jax.jit(lambda xp, whh: lstm_scan_fused(xp, whh, mask, False))
+    y32 = f32(x_proj, w.w_hh)
+    y16 = f32(xp16, w.w_hh)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=2e-2, atol=2e-2)
+
+    g32 = jax.jit(jax.grad(
+        lambda xp, whh: jnp.sum(lstm_scan_fused(xp, whh, mask, False) * cot),
+        argnums=(0, 1)))(x_proj, w.w_hh)
+    g16 = jax.jit(jax.grad(
+        lambda xp, whh: jnp.sum(
+            lstm_scan_fused(xp, whh, mask, False).astype(jnp.float32) * cot),
+        argnums=(0, 1)))(xp16, w.w_hh)
+    assert g16[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16[0], np.float32),
+                               np.asarray(g32[0]), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(g16[1]), np.asarray(g32[1]),
+                               rtol=5e-2, atol=5e-1)
