@@ -155,7 +155,13 @@ class BeamDecoder:
             psi_prev = jnp.zeros((B, K))
 
         use_lm = self.lm is not None
-        lm_state = self.lm.init_state(B * K) if use_lm else None
+        lm_state = self.lm.init_state(B * K, enc.dtype) if use_lm else None
+
+        # first-layer input-projection lookup tables (amp fast path only, so
+        # the exact-f32 CPU parity paths keep their original op sequence)
+        tables = model.precompute_decode_tables(p) if self.amp else None
+        lm_embp = (self.lm.emb_proj_table(lm_params)
+                   if (use_lm and self.amp) else None)
 
         # candidate-set size for CTC scoring
         C = V if (not self.use_ctc or V <= self.ctc_candidates) \
@@ -181,11 +187,14 @@ class BeamDecoder:
             "dec_state": dec_state,
             "align": align,
             "lm_state": lm_state,
-            "fin_len": jnp.zeros((B, K), jnp.int32),
-            "fin_step": jnp.zeros((B, K), jnp.int32),
-            "fin_slot": jnp.zeros((B, K), jnp.int32),
+            # finished hypotheses: normalized score + ONE packed int32 of
+            # (finalization step << 8 | entry slot). The length needs no
+            # slot of its own: a hypothesis finalized at step t emitted
+            # exactly t tokens (len == step), and K <= 256 fits 8 bits.
+            "fin_meta": jnp.zeros((B, K), jnp.int32),
             "fin_norm": jnp.full((B, K), NEG_INF),
         }
+        assert K <= 256, "packed finished-set metadata assumes beam <= 256"
 
         aw, cw, lw = 1.0 - self.ctc_weight, self.ctc_weight, self.lm_weight
         vocab_ids = jnp.arange(V)
@@ -194,7 +203,7 @@ class BeamDecoder:
         def step(carry, t):
             logits, new_dec, new_align, _ = model.decode_step_beam(
                 p, cache, carry["dec_state"], carry["align"],
-                carry["last"].reshape(B * K), K)
+                carry["last"].reshape(B * K), K, tables=tables)
             if self.plugin is not None:
                 logp_att = self.plugin.fused_log_prob(
                     plugin_params, new_dec.h[-1], logits).reshape(B, K, V)
@@ -203,7 +212,8 @@ class BeamDecoder:
 
             if use_lm:
                 lm_logits, new_lm = self.lm.step(
-                    lm_params, carry["lm_state"], carry["last"].reshape(B * K))
+                    lm_params, carry["lm_state"], carry["last"].reshape(B * K),
+                    emb_proj=lm_embp)
                 logp_lm = jax.nn.log_softmax(lm_logits, -1).reshape(B, K, V)
             else:
                 new_lm = None
@@ -227,20 +237,14 @@ class BeamDecoder:
             norm_eos = tot_eos / jnp.maximum(n_tok + 1, 1).astype(jnp.float32)
 
             # merge into finished set (keep top-K by normalized score);
-            # a finished hypothesis is (score, len, step, entry-slot) — its
-            # tokens are reconstructed by the post-scan backtrace
+            # a finished hypothesis is (score, step<<8|slot) — its length is
+            # its step, its tokens come from the post-scan backtrace
             all_norm = jnp.concatenate([carry["fin_norm"], norm_eos], axis=1)
-            all_len = jnp.concatenate(
-                [carry["fin_len"], jnp.full((B, K), n_tok, jnp.int32)], axis=1)
-            all_step = jnp.concatenate(
-                [carry["fin_step"], jnp.full((B, K), t, jnp.int32)], axis=1)
-            slots = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
-                                     (B, K))
-            all_slot = jnp.concatenate([carry["fin_slot"], slots], axis=1)
+            meta_new = jnp.broadcast_to(
+                (t << 8) + jnp.arange(K, dtype=jnp.int32)[None], (B, K))
+            all_meta = jnp.concatenate([carry["fin_meta"], meta_new], axis=1)
             fin_norm, fin_idx = jax.lax.top_k(all_norm, K)
-            fin_len = jnp.take_along_axis(all_len, fin_idx, axis=1)
-            fin_step = jnp.take_along_axis(all_step, fin_idx, axis=1)
-            fin_slot = jnp.take_along_axis(all_slot, fin_idx, axis=1)
+            fin_meta = jnp.take_along_axis(all_meta, fin_idx, axis=1)
 
             # ---------------- continuation scores
             step_score = aw * logp_att + lw * logp_lm          # (B, K, V)
@@ -296,14 +300,33 @@ class BeamDecoder:
                 psi_g = carry["psi"]
                 new_base = top_tot
 
-            flat_sel = (jnp.arange(B)[:, None] * K + k_idx).reshape(B * K)
-            new_dec_g = jax.tree_util.tree_map(
-                lambda x: x[:, flat_sel] if x.ndim >= 2 and x.shape[1] == B * K
-                else x, new_dec)
+            if self.amp:
+                # beam-axis reorder as a one-hot (B,K,K) matmul: row-gathers
+                # serialize on TPU (profiled ~9 us each for ~1 MB) while the
+                # batched (8,8)@(8,512) products are one MXU op per state —
+                # and EXACT for the bf16 states (one nonzero term per row)
+                oh = jax.nn.one_hot(k_idx, K, dtype=jnp.bfloat16)
+
+                def resel(x):
+                    if x is None or x.ndim < 2 or x.shape[1] != B * K:
+                        return x
+                    Lx, _, Hx = x.shape
+                    xr = x.reshape(Lx, B, K, Hx)
+                    out = jnp.einsum("bkj,lbjh->lbkh", oh.astype(x.dtype), xr)
+                    return out.reshape(Lx, B * K, Hx)
+
+                new_dec_g = jax.tree_util.tree_map(resel, new_dec)
+                new_lm_g = (jax.tree_util.tree_map(resel, new_lm)
+                            if use_lm else None)
+            else:
+                flat_sel = (jnp.arange(B)[:, None] * K + k_idx).reshape(B * K)
+                new_dec_g = jax.tree_util.tree_map(
+                    lambda x: x[:, flat_sel]
+                    if x.ndim >= 2 and x.shape[1] == B * K else x, new_dec)
+                new_lm_g = (jax.tree_util.tree_map(
+                    lambda x: x[:, flat_sel] if x is not None else None,
+                    new_lm) if use_lm else None)
             new_align_g = _gather_k(new_align, k_idx)       # (B, K, H, T)
-            new_lm_g = (jax.tree_util.tree_map(
-                lambda x: x[:, flat_sel] if x is not None else None, new_lm)
-                if use_lm else None)
 
             out = {
                 "last": v_idx,
@@ -312,9 +335,7 @@ class BeamDecoder:
                 "dec_state": new_dec_g,
                 "align": new_align_g,
                 "lm_state": new_lm_g,
-                "fin_len": fin_len,
-                "fin_step": fin_step,
-                "fin_slot": fin_slot,
+                "fin_meta": fin_meta,
                 "fin_norm": fin_norm,
             }
             if self.use_ctc:
@@ -345,6 +366,7 @@ class BeamDecoder:
         # with the slimmer carry; beam tests stay green).
         carry, (vs, ks) = jax.lax.scan(step, carry, jnp.arange(L + 1),
                                        unroll=4)
-        fin_tokens = _backtrace(vs, ks, carry["fin_step"], carry["fin_slot"],
-                                L)
-        return BeamOutput(fin_tokens, carry["fin_len"], carry["fin_norm"])
+        fin_step = carry["fin_meta"] >> 8
+        fin_slot = carry["fin_meta"] & 0xFF
+        fin_tokens = _backtrace(vs, ks, fin_step, fin_slot, L)
+        return BeamOutput(fin_tokens, fin_step, carry["fin_norm"])

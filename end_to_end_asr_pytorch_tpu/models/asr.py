@@ -132,24 +132,51 @@ class ASR:
                          preferred_element_type=jnp.float32) + p.char_b
         return logits, state, align, context
 
+    def precompute_decode_tables(self, p: ASRParams):
+        """Beam fast path: the decoder's first-layer input is
+        ``[emb(prev_token) ; context]``, and the embedding half of its input
+        projection has only V distinct rows — precompute the (V, gates)
+        table ``embed @ W_ih[:emb_dim] + b`` once per utterance batch and
+        the per-step (B*K, emb) @ (emb, gates) matmul becomes a lookup."""
+        c0 = p.decoder.cells[0]
+        E = self.dec_dim
+        b = c0.b if self.decoder.module == "lstm" else c0.b_ih
+        t = jnp.dot(p.embed, c0.w_ih[:E],
+                    preferred_element_type=jnp.float32) + b
+        return {"emb_proj": t.astype(p.embed.dtype), "w_ctx": c0.w_ih[E:]}
+
     def decode_step_beam(self, p: ASRParams, cache: AttCache,
                          state: DecoderState, prev_align: jnp.ndarray,
-                         prev_token: jnp.ndarray, beam: int):
+                         prev_token: jnp.ndarray, beam: int, tables=None):
         """Beam-folded decode step against an UNEXPANDED attention cache.
 
         state holds (L, B*K, H); prev_align (B, K, H, T); prev_token (B*K,).
         Used by decode/beam.py so encoder keys/values are read once per step
-        rather than K times (see Attention.step_beam).
+        rather than K times (see Attention.step_beam). ``tables`` (from
+        precompute_decode_tables) enables the first-layer lookup fast path.
         """
         BK = prev_token.shape[0]
         B = BK // beam
         query = self.decoder.query(state).reshape(B, beam, -1)
         context, align = self.attention.step_beam(p.attention, cache, query,
                                                   prev_align)
-        emb = p.embed[prev_token]
-        dec_in = jnp.concatenate(
-            [emb, context.reshape(BK, -1)], axis=-1)
-        dec_out, state = self.decoder.step(p.decoder, state, dec_in)
+        if tables is not None:
+            # one-hot matmul, not a gather: row-gathers serialize on TPU
+            # while a (B*K, V) @ (V, gates) one-hot product is one MXU op
+            # (and is EXACT: one nonzero term per row, f32 accumulation)
+            oh = jax.nn.one_hot(prev_token, self.vocab_size,
+                                dtype=tables["emb_proj"].dtype)
+            x0 = (jnp.dot(oh, tables["emb_proj"],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(context.reshape(BK, -1), tables["w_ctx"],
+                            preferred_element_type=jnp.float32))
+            dec_out, state = self.decoder.step(p.decoder, state,
+                                               x0_proj=x0)
+        else:
+            emb = p.embed[prev_token]
+            dec_in = jnp.concatenate(
+                [emb, context.reshape(BK, -1)], axis=-1)
+            dec_out, state = self.decoder.step(p.decoder, state, dec_in)
         logits = jnp.dot(dec_out, p.char_w,
                          preferred_element_type=jnp.float32) + p.char_b
         return logits, state, align, context

@@ -59,23 +59,34 @@ class Decoder:
         """Attention query = top-layer hidden state (B, H)."""
         return state.h[-1]
 
-    def step(self, p: DecoderParams, state: DecoderState, x: jnp.ndarray,
-             *, train: bool = False, rng=None
+    def step(self, p: DecoderParams, state: DecoderState,
+             x: Optional[jnp.ndarray] = None, *, train: bool = False,
+             rng=None, x0_proj: Optional[jnp.ndarray] = None
              ) -> Tuple[jnp.ndarray, DecoderState]:
-        """x (B, in_dim) -> (output (B, dim), new state)."""
+        """x (B, in_dim) -> (output (B, dim), new state).
+
+        ``x0_proj`` (B, gates) optionally supplies the FIRST layer's input
+        projection directly (bias included) — the beam decoder precomputes
+        the embedding half as a (V, gates) table, so the per-step
+        (B*K, emb) @ (emb, gates) matmul collapses to a 31-row lookup.
+        """
         hs, cs = [], []
         inp = x
         rngs = (jax.random.split(rng, self.layers)
                 if rng is not None else [None] * self.layers)
         for i, w in enumerate(p.cells):
-            if self.module == "lstm":
+            if i == 0 and x0_proj is not None:
+                x_proj = x0_proj
+            elif self.module == "lstm":
                 x_proj = jnp.dot(inp, w.w_ih,
                                  preferred_element_type=jnp.float32) + w.b
-                h_new, c_new = rnn_ops.lstm_cell(w, state.h[i], state.c[i], x_proj)
-                cs.append(c_new)
             else:
                 x_proj = jnp.dot(inp, w.w_ih,
                                  preferred_element_type=jnp.float32) + w.b_ih
+            if self.module == "lstm":
+                h_new, c_new = rnn_ops.lstm_cell(w, state.h[i], state.c[i], x_proj)
+                cs.append(c_new)
+            else:
                 h_new = rnn_ops.gru_cell(w, state.h[i], x_proj)
             if train and self.dropout > 0 and rngs[i] is not None and i < self.layers - 1:
                 keep = 1.0 - self.dropout

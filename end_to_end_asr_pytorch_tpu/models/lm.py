@@ -70,20 +70,42 @@ class RNNLM:
         w = p.embed.T if p.out_w is None else p.out_w
         return jnp.dot(h, w, preferred_element_type=jnp.float32) + p.out_b
 
-    def step(self, p: RNNLMParams, state: LMState, token: jnp.ndarray
+    def emb_proj_table(self, p: RNNLMParams) -> jnp.ndarray:
+        """(V, gates) first-layer input projection of every token's embedding
+        (bias folded in) — the beam decoder's per-step LM input is ONLY the
+        previous token, so its whole (B*K, E) @ (E, gates) matmul collapses
+        to a V-row lookup."""
+        w = p.cells[0]
+        b = w.b if self.module == "lstm" else w.b_ih
+        t = jnp.dot(p.embed, w.w_ih,
+                    preferred_element_type=jnp.float32) + b
+        return t.astype(p.embed.dtype)
+
+    def step(self, p: RNNLMParams, state: LMState, token: jnp.ndarray,
+             emb_proj: Optional[jnp.ndarray] = None
              ) -> Tuple[jnp.ndarray, LMState]:
-        """token (B,) int32 -> (logits (B, V), new state). Incremental path."""
-        inp = p.embed[token]
+        """token (B,) int32 -> (logits (B, V), new state). Incremental path.
+
+        ``emb_proj`` (V, gates): optional precomputed first-layer input
+        projection table (see emb_proj_table)."""
+        inp = None if emb_proj is not None else p.embed[token]
         hs, cs = [], []
         for i, w in enumerate(p.cells):
-            if self.module == "lstm":
+            if i == 0 and emb_proj is not None:
+                # one-hot matmul beats a row-gather on TPU (see
+                # ASR.decode_step_beam); exact — one nonzero term per row
+                oh = jax.nn.one_hot(token, emb_proj.shape[0],
+                                    dtype=emb_proj.dtype)
+                x_proj = jnp.dot(oh, emb_proj,
+                                 preferred_element_type=jnp.float32)
+            else:
+                b = w.b if self.module == "lstm" else w.b_ih
                 x_proj = jnp.dot(inp, w.w_ih,
-                                 preferred_element_type=jnp.float32) + w.b
+                                 preferred_element_type=jnp.float32) + b
+            if self.module == "lstm":
                 h_new, c_new = rnn_ops.lstm_cell(w, state.h[i], state.c[i], x_proj)
                 cs.append(c_new)
             else:
-                x_proj = jnp.dot(inp, w.w_ih,
-                                 preferred_element_type=jnp.float32) + w.b_ih
                 h_new = rnn_ops.gru_cell(w, state.h[i], x_proj)
             hs.append(h_new)
             inp = h_new
