@@ -315,6 +315,18 @@ class BeamDecoder:
                     out = jnp.einsum("bkj,lbjh->lbkh", oh.astype(x.dtype), xr)
                     return out.reshape(Lx, B * K, Hx)
 
+                def resel_f32(x):
+                    # EXACT for f32 too under HIGHEST precision: the one-hot
+                    # row selects a single term, and the 6-pass bf16 split
+                    # of each f32 value re-sums exactly (disjoint mantissa
+                    # chunks) — verified against take_along in the tests
+                    sh = x.shape
+                    xr = x.reshape(B, K, -1)
+                    out = jnp.einsum("bkj,bjx->bkx", oh.astype(jnp.float32),
+                                     xr,
+                                     precision=jax.lax.Precision.HIGHEST)
+                    return out.reshape(sh)
+
                 new_dec_g = jax.tree_util.tree_map(resel, new_dec)
                 new_lm_g = (jax.tree_util.tree_map(resel, new_lm)
                             if use_lm else None)
@@ -326,7 +338,8 @@ class BeamDecoder:
                 new_lm_g = (jax.tree_util.tree_map(
                     lambda x: x[:, flat_sel] if x is not None else None,
                     new_lm) if use_lm else None)
-            new_align_g = _gather_k(new_align, k_idx)       # (B, K, H, T)
+            new_align_g = (resel_f32(new_align) if self.amp
+                           else _gather_k(new_align, k_idx))  # (B, K, H, T)
 
             out = {
                 "last": v_idx,
@@ -342,7 +355,8 @@ class BeamDecoder:
                 # phase 2: recompute the r state for the K winners only
                 # (C/K x less cumulative-logsumexp work than materializing
                 # r for every candidate)
-                r_sel = _gather_k(carry["r"], k_idx)
+                r_sel = (resel_f32(carry["r"]) if self.amp
+                         else _gather_k(carry["r"], k_idx))
                 last_sel = _gather_k(carry["last"], k_idx)
                 _, r_g = ctc_prefix.score_candidates(
                     ctc_lp, r_sel, last_sel,

@@ -249,3 +249,27 @@ def test_lstm_fused_bf16_io_compiled():
                                np.asarray(g32[0]), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(g16[1]), np.asarray(g32[1]),
                                rtol=5e-2, atol=5e-1)
+
+
+def test_one_hot_reorder_bit_exact():
+    """The beam loop's one-hot-matmul state reorder must equal take_along
+    BITWISE on the real chip: bf16 states via a bf16 one-hot product, f32
+    carries (r lattice, alignment) via precision=HIGHEST (the 6-pass bf16
+    split of each f32 re-sums exactly when multiplied by exact 1.0)."""
+    B, K, X = 128, 8, 352
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, K, X).astype(np.float32)
+                    * np.exp(rng.randn(B, K, X) * 4))
+    idx = jnp.asarray(rng.randint(0, K, (B, K)), jnp.int32)
+    ref = jnp.take_along_axis(x, idx[..., None], axis=1)
+    oh = jax.nn.one_hot(idx, K, dtype=jnp.float32)
+    got = jnp.einsum("bkj,bjx->bkx", oh, x,
+                     precision=jax.lax.Precision.HIGHEST)
+    assert np.array_equal(np.asarray(ref), np.asarray(got))
+    xb = x.astype(jnp.bfloat16)
+    refb = jnp.take_along_axis(xb, idx[..., None], axis=1)
+    gotb = jnp.einsum("bkj,bjx->bkx",
+                      jax.nn.one_hot(idx, K, dtype=jnp.bfloat16), xb,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    assert np.array_equal(np.asarray(refb, np.float32),
+                          np.asarray(gotb, np.float32))
