@@ -357,7 +357,13 @@ class BeamDecoder:
                 # r for every candidate)
                 r_sel = (resel_f32(carry["r"]) if self.amp
                          else _gather_k(carry["r"], k_idx))
-                last_sel = _gather_k(carry["last"], k_idx)
+                if self.amp:
+                    # exact: token ids < 2^24 round-trip f32 losslessly
+                    last_sel = resel_f32(
+                        carry["last"].astype(jnp.float32)[..., None]
+                    )[..., 0].astype(jnp.int32)
+                else:
+                    last_sel = _gather_k(carry["last"], k_idx)
                 _, r_g = ctc_prefix.score_candidates(
                     ctc_lp, r_sel, last_sel,
                     jnp.full((B, K), t, jnp.int32),
