@@ -36,7 +36,9 @@ def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
     hp = jnp.dot(h, whh_ref[...],
                  preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.DEFAULT) + bhh_ref[...]
-    xp = xp_ref[0]
+    # xp may stream in as bf16 (amp: halves the dominant (T,B,3H) HBM
+    # read, matching lstm_kernel); gate math always accumulates f32
+    xp = xp_ref[0].astype(jnp.float32)
     r = jax.nn.sigmoid(xp[:, :H] + hp[:, :H])
     z = jax.nn.sigmoid(xp[:, H:2 * H] + hp[:, H:2 * H])
     hp_n = hp[:, 2 * H:]
@@ -46,7 +48,7 @@ def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
     m = mask_ref[0]
     h_out = m * h_new + (1.0 - m) * h
     h_scr[...] = h_out
-    ys_ref[0] = m * h_new
+    ys_ref[0] = (m * h_new).astype(ys_ref.dtype)
     gates_ref[0] = jnp.concatenate([r, z, n], axis=-1)
     hpn_ref[0] = hp_n
 
@@ -64,11 +66,12 @@ def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
     z = gates[:, H:2 * H]
     n = gates[:, 2 * H:]
     hp_n = hpn_ref[0]
-    h_prev = hs_prev_ref[0]
+    # ys (and so hs_prev / dys) may be bf16 under amp; compute in f32
+    h_prev = hs_prev_ref[0].astype(jnp.float32)
     m = mask_ref[0]
 
     dh_carry = dh_scr[...]
-    dh = dh_carry + dys_ref[0]
+    dh = dh_carry + dys_ref[0].astype(jnp.float32)
 
     dz = dh * (h_prev - n)
     dn = dh * (1.0 - z)
@@ -88,7 +91,7 @@ def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
                        precision=jax.lax.Precision.DEFAULT)
                + m * dh_direct)
     dh_scr[...] = dh_prev + (1.0 - m) * dh_carry
-    dxp_ref[0] = dxp
+    dxp_ref[0] = dxp.astype(dxp_ref.dtype)  # matches primal x_proj dtype
     dhp_ref[0] = dhp
 
 
@@ -118,7 +121,8 @@ def _run_fwd(x_proj, mask, w_hh, b_hh, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            # ys in the input dtype (bf16 under amp); residuals stay f32
+            jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
         ],
@@ -151,7 +155,9 @@ def _run_bwd(gates, hpn, ys, mask, w_hh, dys, interpret=False):
             pl.BlockSpec((1, TB, 3 * H), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
+            # dxp must match the primal x_proj dtype (bf16 under amp);
+            # dhp stays f32 (feeds the dW_hh/db_hh reductions)
+            jax.ShapeDtypeStruct((T, B, 3 * H), ys.dtype),
             jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],

@@ -54,8 +54,10 @@ def init_gru(key, in_dim: int, hidden: int, dtype=jnp.float32) -> GRUWeights:
     s = 1.0 / np.sqrt(hidden)
     w_ih = jax.random.uniform(k1, (in_dim, 3 * hidden), dtype, -s, s)
     w_hh = jax.random.uniform(k2, (hidden, 3 * hidden), dtype, -s, s)
-    z = jnp.zeros((3 * hidden,), dtype)
-    return GRUWeights(w_ih, w_hh, z, z)
+    # distinct buffers: aliased leaves break donate_argnums in the train step
+    return GRUWeights(w_ih, w_hh,
+                      jnp.zeros((3 * hidden,), dtype),
+                      jnp.zeros((3 * hidden,), dtype))
 
 
 def lstm_cell(w: LSTMWeights, h: jnp.ndarray, c: jnp.ndarray,
@@ -144,8 +146,9 @@ def gru_scan(w: GRUWeights, x: jnp.ndarray, mask: jnp.ndarray,
     H = w.w_hh.shape[0]
     if h0 is None and _fused_ok(x):
         from .pallas.gru_kernel import gru_scan_fused
+        # streamed in x's dtype (bf16 under amp), matching lstm_scan above
         x_proj = (jnp.dot(x, w.w_ih, preferred_element_type=jnp.float32)
-                  + w.b_ih).astype(jnp.float32)
+                  + w.b_ih).astype(x.dtype)
         ys = gru_scan_fused(x_proj, w.w_hh.astype(jnp.float32),
                             w.b_hh.astype(jnp.float32), mask, reverse, False)
         return ys.astype(x.dtype)

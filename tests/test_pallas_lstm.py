@@ -142,6 +142,33 @@ def test_gru_fused_grads_match_scan(reverse):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("kind", ["lstm", "gru"])
+def test_fused_bf16_io(kind):
+    """bf16 x_proj/ys I/O (the amp streaming mode): values track the f32
+    fused path to bf16 rounding, grads keep the primal dtype contract."""
+    if kind == "lstm":
+        w, x, x_proj, mask = _setup(seed=7)
+        run = lambda xp, dt: lstm_scan_fused(
+            xp.astype(dt), w.w_hh, mask, False, True)
+    else:
+        w, x, x_proj, mask = _gru_setup(seed=7)
+        run = lambda xp, dt: gru_scan_fused(
+            xp.astype(dt), w.w_hh, w.b_hh, mask, False, True)
+
+    ref = run(x_proj, jnp.float32)
+    got = run(x_proj, jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
+                               rtol=0, atol=0.05)
+    # grad wrt a bf16 primal must come back bf16 (custom_vjp dtype contract)
+    g = jax.grad(lambda xp: jnp.sum(run(xp, jnp.bfloat16).astype(
+        jnp.float32)))(x_proj.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+    g_ref = jax.grad(lambda xp: jnp.sum(run(xp, jnp.float32)))(x_proj)
+    np.testing.assert_allclose(np.asarray(g, np.float32), np.asarray(g_ref),
+                               rtol=0, atol=0.1)
+
+
 @pytest.mark.parametrize("reverse", [False, True])
 def test_fused_unrolled_path(reverse):
     """T divisible by UNROLL exercises the multi-step-per-block kernels."""
