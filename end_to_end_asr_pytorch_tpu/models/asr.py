@@ -109,25 +109,41 @@ class ASR:
 
     def decode_step(self, p: ASRParams, cache: AttCache, state: DecoderState,
                     prev_align: jnp.ndarray, prev_token: jnp.ndarray, *,
-                    train: bool = False, rng=None):
+                    train: bool = False, rng=None, tables=None):
         """One label-synchronous step.
 
         prev_token (B,) int32 -> (logits (B, V), state, align, context).
         Ordering matches the reference: attention queried with the decoder
         hidden from the previous step, then the decoder consumes
         [emb(prev_token) ; context].
+
+        ``tables`` (from precompute_decode_tables) enables the first-layer
+        lookup fast path shared with the beam decoder: a one-hot (B, V) MXU
+        matmul replaces the embedding row-gather (which serializes on TPU)
+        + concat + first-layer input projection. Requires emb_drop == 0
+        (the table folds the embedding into the projection).
         """
         query = self.decoder.query(state)
         context, align = self.attention.step(p.attention, cache, query,
                                              prev_align)
-        emb = p.embed[prev_token]
-        if train and self.emb_drop > 0 and rng is not None:
-            rng, r = jax.random.split(rng)
-            keep = 1.0 - self.emb_drop
-            emb = emb * jax.random.bernoulli(r, keep, emb.shape) / keep
-        dec_out, state = self.decoder.step(
-            p.decoder, state, jnp.concatenate([emb, context], axis=-1),
-            train=train, rng=rng)
+        if tables is not None:
+            oh = jax.nn.one_hot(prev_token, self.vocab_size,
+                                dtype=tables["emb_proj"].dtype)
+            x0 = (jnp.dot(oh, tables["emb_proj"],
+                          preferred_element_type=jnp.float32)
+                  + jnp.dot(context, tables["w_ctx"],
+                            preferred_element_type=jnp.float32))
+            dec_out, state = self.decoder.step(p.decoder, state, x0_proj=x0,
+                                               train=train, rng=rng)
+        else:
+            emb = p.embed[prev_token]
+            if train and self.emb_drop > 0 and rng is not None:
+                rng, r = jax.random.split(rng)
+                keep = 1.0 - self.emb_drop
+                emb = emb * jax.random.bernoulli(r, keep, emb.shape) / keep
+            dec_out, state = self.decoder.step(
+                p.decoder, state, jnp.concatenate([emb, context], axis=-1),
+                train=train, rng=rng)
         logits = jnp.dot(dec_out, p.char_w,
                          preferred_element_type=jnp.float32) + p.char_b
         return logits, state, align, context
@@ -204,35 +220,50 @@ class ASR:
         if self.enable_att and decode_step > 0:
             B = enc.shape[0]
             cache, state, align = self.init_decode(p, enc, enc_len)
-            sos = jnp.full((B,), EOS_IDX, jnp.int32)
+            sos = jnp.full((B, 1), EOS_IDX, jnp.int32)
             # per-step teacher-forcing coins, drawn vectorized (reference
-            # draws one Bernoulli per step for the whole batch)
-            coins = jax.random.uniform(r_coin, (decode_step,)) <= tf_rate
+            # draws one Bernoulli per step for the whole batch). Step 0
+            # always feeds <sos>: fold it in as a forced-True coin with
+            # <sos> as the step-0 "teacher" token — removes the per-step
+            # t==0 selects from the scan body.
+            if teacher is not None:
+                coins = jax.random.uniform(r_coin, (decode_step,)) <= tf_rate
+                coins = coins.at[0].set(True)
+                tf_toks = jnp.concatenate(
+                    [sos, teacher[:, :decode_step - 1]], axis=1)   # (B, U)
+            else:
+                coins = jnp.arange(decode_step) == 0
+                tf_toks = jnp.broadcast_to(sos, (B, decode_step))
+            tf_toks = tf_toks.T                                    # (U, B)
             step_rngs = jax.random.split(r_step, decode_step)
+            # first-layer lookup fast path (shared with beam decode): only
+            # valid when embedding dropout is inactive this pass
+            tables = (self.precompute_decode_tables(p)
+                      if (self.emb_drop == 0.0 or not train) else None)
 
             def scan_step(carry, inp):
                 state, align, prev_pred = carry
-                t, coin, srng = inp
-                if teacher is not None:
-                    tf_tok = jnp.where(t == 0, sos, teacher[:, jnp.maximum(t - 1, 0)])
-                    prev_tok = jnp.where(jnp.logical_or(coin, t == 0),
-                                         tf_tok, prev_pred)
-                else:
-                    prev_tok = jnp.where(t == 0, sos, prev_pred)
+                tf_tok, coin, srng = inp
+                prev_tok = jnp.where(coin, tf_tok, prev_pred)
                 logits, state, align, _ = self.decode_step(
                     p, cache, state, align, prev_tok,
-                    train=train, rng=srng if train else None)
+                    train=train, rng=srng if train else None, tables=tables)
                 pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                return (state, align, pred), (logits, align,
-                                              self.decoder.query(state))
+                dec_out = self.decoder.query(state) if get_dec_state else None
+                return (state, align, pred), (logits, align, dec_out)
 
-            ts = jnp.arange(decode_step)
             # unroll=4: the label scan's per-step carry get/update boilerplate
             # profiled at ~48 ms/step (half the train step) at B=128/U=96 —
-            # the same fix as the beam loop's unroll (BASELINE.md round 2)
+            # the same fix as the beam loop's unroll (BASELINE.md round 2).
+            # jax.checkpoint (save-nothing): the default scan VJP streams
+            # every per-step intermediate (the (B,H,T,d) tanh chain etc.) to
+            # HBM forward and back; the step is latency-bound so recomputing
+            # it in the backward scan is cheaper than the residual traffic —
+            # measured 90 -> 71 ms/step bf16 B=128/U=96 (policy
+            # dots_with_no_batch_dims_saveable was worse: 83 ms).
             (state, align, _), (att_out, att_align, dec_outs) = jax.lax.scan(
-                scan_step, (state, align, sos), (ts, coins, step_rngs),
-                unroll=4)
+                jax.checkpoint(scan_step), (state, align, sos[:, 0]),
+                (tf_toks, coins, step_rngs), unroll=4)
             att_out = jnp.swapaxes(att_out, 0, 1)        # (B, U, V)
             att_align = jnp.swapaxes(att_align, 0, 1)    # (B, U, H, T')
             dec_state = (jnp.swapaxes(dec_outs, 0, 1) if get_dec_state

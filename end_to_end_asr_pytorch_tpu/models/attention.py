@@ -170,6 +170,12 @@ class Attention:
             energy = jnp.einsum("bhd,bhtd->bht", q.astype(cd), cache.keys,
                                 preferred_element_type=jnp.float32)
         else:
+            # NOTE (measured, do not "fix"): unlike step_beam, this path
+            # keeps the strided conv. Swapping in the Toeplitz band matmul
+            # regressed TRAINING 92 -> 102 ms/step at B=128/U=96: under
+            # autodiff the loop-invariant (T, T*F) band collects a ~1.2 MB
+            # cotangent accumulation in every backward scan step, while the
+            # conv VJP accumulates only the (ks, 1, F) kernel gradient.
             a = jnp.sum(prev_align, axis=1)[:, :, None]           # (B, T, 1)
             f = jax.lax.conv_general_dilated(
                 a.astype(p.loc_conv.dtype), p.loc_conv,

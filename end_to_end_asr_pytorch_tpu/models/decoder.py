@@ -72,8 +72,13 @@ class Decoder:
         """
         hs, cs = [], []
         inp = x
+        # rng splits are real per-step serial work inside the label scan —
+        # only pay for them when dropout can actually fire (inter-layer
+        # dropout needs layers > 1)
+        need_rng = (train and self.dropout > 0 and rng is not None
+                    and self.layers > 1)
         rngs = (jax.random.split(rng, self.layers)
-                if rng is not None else [None] * self.layers)
+                if need_rng else [None] * self.layers)
         for i, w in enumerate(p.cells):
             if i == 0 and x0_proj is not None:
                 x_proj = x0_proj

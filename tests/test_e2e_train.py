@@ -98,6 +98,22 @@ def test_joint_train_smoke(tmp_path, corpus):
     assert (tmp_path / "ckpt" / "joint_sd0" / "latest.pth").exists()
 
 
+def test_gru_train_smoke(tmp_path, corpus):
+    """GRU encoder+decoder through the full train step. Regression guard:
+    init_gru once aliased b_ih/b_hh to one buffer, which crashed the donated
+    jit train step at step 0 (donate the same buffer twice)."""
+    from end_to_end_asr_pytorch_tpu.solvers.train_asr import Solver
+    cfg = _asr_config(corpus, ctc_weight=0.5, max_step=6)
+    cfg["model"]["encoder"]["module"] = "GRU"
+    cfg["model"]["decoder"]["module"] = "GRU"
+    solver = Solver(cfg, _paras(tmp_path, "gru"), "train")
+    solver.load_data()
+    solver.set_model()
+    solver.exec()
+    assert solver.step == 6
+    assert (tmp_path / "ckpt" / "gru_sd0" / "latest.pth").exists()
+
+
 def test_lm_train(tmp_path, corpus):
     from end_to_end_asr_pytorch_tpu.solvers.train_lm import Solver
     cfg = {
