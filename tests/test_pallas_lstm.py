@@ -208,3 +208,44 @@ def test_fused_unrolled_path(reverse):
     for a, b in zip(g_fus, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_fused_unrolled_path(reverse):
+    """GRU twin of test_fused_unrolled_path: T divisible by UNROLL
+    exercises the multi-step-per-block kernels (values + grads)."""
+    T2 = 12
+    w = init_gru(jax.random.PRNGKey(8), D, H)
+    w = GRUWeights(w.w_ih, w.w_hh, w.b_ih + 0.1, w.b_hh + 0.05)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(T2, B, D), jnp.float32)
+    lens = [12, 9, 5, 12]
+    mask = jnp.asarray(np.arange(T2)[:, None] < np.asarray(lens)[None, :])
+    x_proj = jnp.dot(x, w.w_ih) + w.b_ih
+    ref = gru_scan(w, x, mask, reverse=reverse)
+    got = gru_scan_fused(x_proj, w.w_hh, w.b_hh, mask, reverse, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    cot = jnp.asarray(rng.randn(T2, B, H), jnp.float32)
+
+    def ref_loss(xp, whh, bhh):
+        def step(h, inp):
+            xpt, mt = inp
+            hp = jnp.dot(h, whh) + bhh
+            r = jax.nn.sigmoid(xpt[..., :H] + hp[..., :H])
+            z = jax.nn.sigmoid(xpt[..., H:2*H] + hp[..., H:2*H])
+            n = jnp.tanh(xpt[..., 2*H:] + r * hp[..., 2*H:])
+            h_new = (1.0 - z) * n + z * h
+            mt = mt[:, None]
+            return jnp.where(mt, h_new, h), jnp.where(mt, h_new, 0.0)
+        h0 = jnp.zeros((B, H))
+        _, ys = jax.lax.scan(step, h0, (xp, mask), reverse=reverse)
+        return jnp.sum(ys * cot)
+
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(x_proj, w.w_hh, w.b_hh)
+    g_fus = jax.grad(lambda xp, whh, bhh: jnp.sum(
+        gru_scan_fused(xp, whh, bhh, mask, reverse, True) * cot),
+        argnums=(0, 1, 2))(x_proj, w.w_hh, w.b_hh)
+    for a, b in zip(g_fus, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
