@@ -33,11 +33,14 @@ def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
     cache, state, align = model.init_decode(p, enc, enc_len)
     sos = jnp.full((B,), EOS_IDX, jnp.int32)
     fuse = plugin is not None and plugin.apply_fuse
+    # first-layer lookup fast path (same table as the training scan and the
+    # beam loop): no embedding row-gathers inside the step
+    tables = model.precompute_decode_tables(p)
 
     def step(carry, _):
         state, align, prev_tok, done = carry
         logits, state, align, _ = model.decode_step(
-            p, cache, state, align, prev_tok)
+            p, cache, state, align, prev_tok, tables=tables)
         if fuse:
             logits = plugin.fused_log_prob(plugin_params, state.h[-1], logits)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
