@@ -113,6 +113,49 @@ def test_asr_forward_shapes(prenet, att_mode):
                                rtol=1e-4)
 
 
+def test_scheduled_tf_matches_explicit_loop():
+    """Scheduled teacher forcing at 0 < tf_rate < 1: the scan's coin/token
+    selection must equal a hand-rolled decode_step loop drawing the SAME
+    coins (reference semantics: one Bernoulli per step for the whole batch;
+    step 0 always feeds <sos>; coin -> teacher[t-1], else previous argmax)."""
+    from end_to_end_asr_pytorch_tpu.utils.text import EOS_IDX
+    model = ASR(40, V, _asr_cfg("", "loc"))
+    p = model.init(jax.random.PRNGKey(4))
+    B, T, U = 2, 24, 7
+    tf_rate = 0.5
+    feat = jnp.asarray(np.random.RandomState(5).randn(B, T, 40), jnp.float32)
+    feat_len = jnp.array([24, 24])
+    teacher = jnp.asarray(
+        np.random.RandomState(6).randint(2, V, (B, U)), jnp.int32)
+
+    _, _, att_out, _, _ = model.forward(
+        p, feat, feat_len, U, tf_rate=tf_rate, teacher=teacher)
+
+    # hand-rolled mirror drawing coins exactly as forward does (forward
+    # defaults to PRNGKey(0) when no rng is passed, then splits 3 ways)
+    _, r_coin, _ = jax.random.split(jax.random.PRNGKey(0), 3)
+    coins = np.asarray(jax.random.uniform(r_coin, (U,)) <= tf_rate)
+    enc, enc_len = model.encode(p, feat, feat_len)
+    cache, state, align = model.init_decode(p, enc, enc_len)
+    prev = jnp.full((B,), EOS_IDX, jnp.int32)
+    outs = []
+    for t_step in range(U):
+        if t_step == 0:
+            tok = jnp.full((B,), EOS_IDX, jnp.int32)
+        elif coins[t_step]:
+            tok = teacher[:, t_step - 1]
+        else:
+            tok = prev
+        logits, state, align, _ = model.decode_step(p, cache, state, align,
+                                                    tok)
+        prev = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        outs.append(logits)
+    ref = jnp.stack(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(att_out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    assert not coins.all() and coins.any(), "want a mixed coin draw"
+
+
 def test_asr_ctc_only():
     model = ASR(40, V, _asr_cfg(ctc_weight=1.0))
     assert model.enable_ctc and not model.enable_att
