@@ -54,6 +54,43 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
     return jax.device_put(tree, rep)
 
 
+def prefetch_to_device(batches, mesh: Mesh, multiple: int, depth: int = 2):
+    """Wrap a host-batch iterator with device-side double buffering.
+
+    A background thread pads each batch to the mesh multiple and device_puts
+    it with batch sharding, keeping up to ``depth`` batches in flight so the
+    host->device transfer overlaps the previous step's device compute. This
+    is the train/decode loop's dominant per-step cost on hosts with a slow
+    device link (measured ~110 ms/step of synchronous transfer+host work in
+    the CLI train loop through the TPU tunnel; a real TPU VM's DMA is faster
+    but still worth hiding).
+
+    Yields ``(device_batch, host_batch)`` — host metadata (names, raw text,
+    numpy lengths) stays cheap to touch without pulling arrays back.
+    """
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+    stop = object()
+
+    def worker():
+        try:
+            for b in batches:
+                hb = pad_batch_to(b, multiple)
+                q.put((shard_batch(mesh, hb), hb))
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
 def pad_batch_to(batch: dict, multiple: int) -> dict:
     """Pad the batch dim up to a multiple of the mesh size with zero-length
     dummy utterances (text_len == 0 => masked out of every loss/metric)."""

@@ -118,8 +118,9 @@ class Solver(BaseSolver):
         hyps, refs, names, nbest_rows = [], [], [], []
         n_utts = 0
         t0 = time.time()
-        for batch in dataset:
-            out = self._run_batch(batch)
+        for sb, batch in pmesh.prefetch_to_device(iter(dataset), self.mesh,
+                                                  self.n_dev):
+            out = self._run_batch(sb, batch)
             B = len(batch["name"])
             for i in range(B):
                 if batch["text_len"][i] == 0:
@@ -159,12 +160,11 @@ class Solver(BaseSolver):
                 ers.append(edit_distance(hs, rs) / len(rs))
         return float(np.mean(ers)) if ers else 0.0
 
-    def _run_batch(self, batch):
-        # pad to a mesh multiple (dummy utts carry text_len==0 and are
-        # dropped by the caller), then shard the batch axis over the mesh
+    def _run_batch(self, sb, batch):
+        # sb: the batch padded to a mesh multiple and sharded over the mesh
+        # by prefetch_to_device (dummy utts carry text_len==0 and are
+        # dropped by the caller); batch: its host-side mirror
         B = len(batch["name"])
-        padded = pmesh.pad_batch_to(batch, self.n_dev)
-        sb = pmesh.shard_batch(self.mesh, padded)
         wave, wave_len = sb["wave"], sb["wave_len"]
         if self.decoder is not None:
             out = self._decode(self.params, self.lm_params, wave, wave_len)

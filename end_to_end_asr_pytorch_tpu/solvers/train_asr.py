@@ -129,9 +129,19 @@ class Solver(BaseSolver):
                 if x.dtype == jnp.float32 else x, tree)
 
         aug_cfg = self.config["data"]["audio"].get("augment")
+        tf_start, tf_end = self.tf_start, self.tf_end
+        tf_step = max(self.tf_step, 1)
 
-        def train_step(params, opt_state, wave, wave_len, text, text_len,
-                       tf_rate, rng):
+        def train_step(params, opt_state, step, wave, wave_len, text,
+                       text_len, rng_base):
+            # tf schedule + per-step rng derived ON DEVICE from the carried
+            # step counter: the hot loop then sends zero per-step scalars
+            # over the host->device link (each tiny transfer/dispatch is a
+            # full RTT through the TPU tunnel)
+            tf_rate = tf_start - (tf_start - tf_end) * jnp.clip(
+                step.astype(jnp.float32) / tf_step, 0.0, 1.0)
+            rng = jax.random.fold_in(rng_base, step)
+
             def loss_fn(p):
                 asr_p = p["asr"] if plugin is not None else p
                 feat, feat_len = frontend(wave, wave_len)
@@ -181,9 +191,9 @@ class Solver(BaseSolver):
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
-            return params, opt_state, metrics
+            return params, opt_state, step + 1, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
         def valid_step(params, wave, wave_len, text, text_len):
             asr_p = params["asr"] if plugin is not None else params
@@ -219,25 +229,28 @@ class Solver(BaseSolver):
     # ----------------------------------------------------------------- exec
     def exec(self):
         self.verbose(f"Training from step {self.step} to {self.max_step}")
-        rng = jax.random.PRNGKey(self.paras.seed + 1)
+        rng_base = jax.random.PRNGKey(self.paras.seed + 1)
+        step_dev = jnp.asarray(self.step, jnp.int32)   # device step counter
         epoch = 0
         t0 = time.time()
         utts = 0
         while self.step < self.max_step:
             shuffle = epoch >= self.curriculum
-            for batch in self.tr_set.epoch_iter(shuffle=shuffle):
-                tf_rate = self.tf_start - (self.tf_start - self.tf_end) * min(
-                    self.step / max(self.tf_step, 1), 1.0)
-                batch = pmesh.pad_batch_to(batch, self.n_dev)
-                sb = pmesh.shard_batch(self.mesh, batch)
-                rng, srng = jax.random.split(rng)
-                self.params, self.opt_state, metrics = self._train_step(
-                    self.params, self.opt_state, sb["wave"], sb["wave_len"],
-                    sb["text"], sb["text_len"],
-                    jnp.asarray(tf_rate, jnp.float32), srng)
+            for sb, batch in pmesh.prefetch_to_device(
+                    self.tr_set.epoch_iter(shuffle=shuffle), self.mesh,
+                    self.n_dev):
+                (self.params, self.opt_state, step_dev,
+                 metrics) = self._train_step(
+                    self.params, self.opt_state, step_dev, sb["wave"],
+                    sb["wave_len"], sb["text"], sb["text_len"], rng_base)
                 utts += int(np.sum(batch["text_len"] > 0))
                 self.step += 1
                 if self.step % self.PROGRESS_STEP == 0:
+                    # display-only mirror of the on-device tf schedule
+                    tf_rate = (self.tf_start
+                               - (self.tf_start - self.tf_end)
+                               * min((self.step - 1) / max(self.tf_step, 1),
+                                     1.0))
                     m = {k: float(v) for k, v in metrics.items()}
                     dt = time.time() - t0
                     self.progress(
@@ -265,9 +278,8 @@ class Solver(BaseSolver):
         cers = {"att": [], "ctc": []}
         losses = {"att": [], "ctc": []}
         shown = 0
-        for batch in self.dv_set:
-            batch = pmesh.pad_batch_to(batch, self.n_dev)
-            sb = pmesh.shard_batch(self.mesh, batch)
+        for sb, batch in pmesh.prefetch_to_device(iter(self.dv_set),
+                                                  self.mesh, self.n_dev):
             out = self._valid_step(self.params, sb["wave"],
                                    sb["wave_len"], sb["text"], sb["text_len"])
             out = jax.device_get(out)

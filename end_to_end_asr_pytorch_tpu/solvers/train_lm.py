@@ -70,16 +70,20 @@ class Solver(BaseSolver):
     def _build_steps(self):
         tx = self.optimizer.tx
 
-        def train_step(params, opt_state, text, text_len, rng):
+        def train_step(params, opt_state, step, text, text_len, rng_base):
+            # per-step rng derived on device (see train_asr: no per-step
+            # host->device scalar traffic in the hot loop)
+            rng = jax.random.fold_in(rng_base, step)
+
             def loss_fn(p):
                 total, count = self._nll(p, text, text_len, True, rng)
                 return total / jnp.maximum(count, 1.0)
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, step + 1, loss
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 
         def valid_step(params, text, text_len):
             return self._nll(params, text, text_len, False, None)
@@ -88,16 +92,15 @@ class Solver(BaseSolver):
 
     def exec(self):
         self.verbose(f"LM training from step {self.step} to {self.max_step}")
-        rng = jax.random.PRNGKey(self.paras.seed + 1)
+        rng_base = jax.random.PRNGKey(self.paras.seed + 1)
+        step_dev = jnp.asarray(self.step, jnp.int32)
         t0, toks = time.time(), 0
         while self.step < self.max_step:
-            for batch in self.tr_set:
-                batch = pmesh.pad_batch_to(batch, self.n_dev)
-                sb = pmesh.shard_batch(self.mesh, batch)
-                rng, srng = jax.random.split(rng)
-                self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, sb["text"], sb["text_len"],
-                    srng)
+            for sb, batch in pmesh.prefetch_to_device(
+                    iter(self.tr_set), self.mesh, self.n_dev):
+                self.params, self.opt_state, step_dev, loss = \
+                    self._train_step(self.params, self.opt_state, step_dev,
+                                     sb["text"], sb["text_len"], rng_base)
                 toks += int(batch["text_len"].sum())
                 self.step += 1
                 if self.step % self.PROGRESS_STEP == 0:
@@ -115,9 +118,8 @@ class Solver(BaseSolver):
 
     def validate(self):
         total, count = 0.0, 0.0
-        for batch in self.dv_set:
-            batch = pmesh.pad_batch_to(batch, self.n_dev)
-            sb = pmesh.shard_batch(self.mesh, batch)
+        for sb, batch in pmesh.prefetch_to_device(iter(self.dv_set),
+                                                  self.mesh, self.n_dev):
             t, c = self._valid_step(self.params, sb["text"], sb["text_len"])
             total += float(t)
             count += float(c)

@@ -65,9 +65,9 @@ def test_ctc_train_checkpoint_resume(tmp_path, corpus):
     orig_train = solver._train_step
 
     def spy(*args, **kw):
-        p, o, m = orig_train(*args, **kw)
+        p, o, s, m = orig_train(*args, **kw)
         losses.append(float(m["loss"]))
-        return p, o, m
+        return p, o, s, m
 
     solver._train_step = spy
     solver.exec()
@@ -148,9 +148,9 @@ def test_amp_bf16_train(tmp_path, corpus):
     orig = solver._train_step
 
     def spy(*a, **k):
-        p, o, m = orig(*a, **k)
+        p, o, s, m = orig(*a, **k)
         losses.append(float(m["loss"]))
-        return p, o, m
+        return p, o, s, m
 
     solver._train_step = spy
     solver.exec()
