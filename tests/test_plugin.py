@@ -116,3 +116,34 @@ def test_train_with_plugin(tmp_path, emb_file):
     assert ts.decoder.plugin is not None
     ts.exec()
     assert (tmp_path / "out" / "plug_sd0" / "test_output.csv").exists()
+
+
+def test_bert_embedding_real_transformer_path(tmp_path):
+    """Exercise the REAL transformers extraction path (SURVEY.md 2.19)
+    offline: a tiny random-weight BERT saved with save_pretrained stands in
+    for a hub model — generate_embedding(model=<local dir>) must run the
+    tokenizer+model loop, not the hash fallback."""
+    transformers = pytest.importorskip("transformers")
+    mdir = tmp_path / "tiny_bert"
+    cfg = transformers.BertConfig(
+        vocab_size=40, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=32)
+    transformers.BertModel(cfg).save_pretrained(mdir)
+    bert_vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + list(
+        "abcdefghijklmnopqrstuvwxyz")
+    (mdir / "vocab.txt").write_text("\n".join(bert_vocab) + "\n")
+    transformers.BertTokenizer(str(mdir / "vocab.txt")).save_pretrained(mdir)
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(list("abcdefghijklmnopqrstuvwxyz") +
+                               ["<space>"]) + "\n")
+    out = tmp_path / "emb.npy"
+    # method='bert' raises on ANY fallback: proves the transformer ran
+    table = generate_embedding(str(vocab), "character", str(out),
+                               model=str(mdir), method="bert")
+    assert table.shape == (V, 16)
+    assert np.load(out).shape == (V, 16)
+    # rows are contextual-mean embeddings, not the hash table
+    from end_to_end_asr_pytorch_tpu.utils.bert_embedding import _hash_embedding
+    assert not np.allclose(table[3], _hash_embedding(["a"], 16)[0])
