@@ -104,14 +104,28 @@ class AudioBatchLoader:
     def __len__(self):
         return len(self.batches)
 
+    @staticmethod
+    def _pack_i16(w: np.ndarray) -> np.ndarray:
+        """Store PCM16-exact waveforms as int16: halves the wave cache AND
+        the per-batch host->device transfer (the CLI train loop's dominant
+        cost on slow links); ops/audio dequantizes on device bit-exactly
+        (i/32768 is exact in f32). Non-PCM16 sources stay float32."""
+        if w.dtype == np.int16:
+            return w
+        s = w.astype(np.float64) * 32768.0
+        if (s.size and -32768.0 <= s.min() and s.max() <= 32767.0
+                and np.array_equal(s, np.rint(s))):
+            return s.astype(np.int16)
+        return w
+
     def _wave(self, i: int) -> np.ndarray:
         if self._wave_cache is not None:
             w = self._wave_cache.get(i)
             if w is None:
-                w = self.ds.load_wave(i)
+                w = self._pack_i16(self.ds.load_wave(i))
                 self._wave_cache.put(i, w)
             return w
-        return self.ds.load_wave(i)
+        return self._pack_i16(self.ds.load_wave(i))
 
     def _pad_samples(self, s_max: int) -> int:
         t_needed = s_max // HOP + 1
@@ -128,7 +142,13 @@ class AudioBatchLoader:
         s_pad = self._pad_samples(max(len(w) for w in waves))
         u_pad = _round_up(max(len(t) for t in texts), self.text_quantum)
         B = len(ids)
-        wave = np.zeros((B, s_pad), np.float32)
+        # int16 wire format when every row is PCM16-exact (see _pack_i16)
+        wave_dtype = (np.int16 if all(w.dtype == np.int16 for w in waves)
+                      else np.float32)
+        if wave_dtype == np.float32:
+            waves = [w.astype(np.float32) / 32768.0
+                     if w.dtype == np.int16 else w for w in waves]
+        wave = np.zeros((B, s_pad), wave_dtype)
         wave_len = np.zeros((B,), np.int32)
         text = np.zeros((B, u_pad), np.int32)
         text_len = np.zeros((B,), np.int32)

@@ -185,6 +185,12 @@ class AudioFrontend:
         return jnp.where(mask, (feat - mean) * jax.lax.rsqrt(var + 1e-10), 0.0)
 
     def __call__(self, waveform: jnp.ndarray, wave_len: jnp.ndarray):
+        if waveform.dtype == jnp.int16:
+            # int16 wire format (data/dataset.py packs PCM16-exact batches as
+            # int16 to halve host->device transfer); dequantize on device.
+            # i/32768 with |i| <= 32768 is exact in float32, so this
+            # reproduces the float path bit-for-bit for PCM16 sources.
+            waveform = waveform.astype(jnp.float32) * (1.0 / 32768.0)
         if self.use_pallas and self.feat_type == "fbank":
             from .pallas.fbank_kernel import fbank_fused
             feat = fbank_fused(waveform, self._cos, self._msin, self._mel,

@@ -78,3 +78,34 @@ def test_wave_cache_disabled(ds):
     loader = AudioBatchLoader(ds, 4, shuffle=False, cache_bytes=0)
     assert loader._wave_cache is None
     next(iter(loader.epoch_iter(shuffle=False)))
+
+
+def test_int16_wire_format_is_bit_exact(ds):
+    """PCM16 sources ride to the device as int16 (half the transfer); the
+    frontend dequant must reproduce the float path bit-for-bit."""
+    import jax.numpy as jnp
+    from end_to_end_asr_pytorch_tpu.ops.audio import create_transform
+
+    loader = AudioBatchLoader(ds, 4, shuffle=False, n_jobs=0)
+    batch = loader.make_batch(loader.batches[0])
+    assert batch["wave"].dtype == np.int16  # synthetic corpus is PCM16 wav
+    frontend, _ = create_transform(
+        {"feat_type": "fbank", "feat_dim": 40, "cmvn": True,
+         "use_pallas": False})
+    f_i16, l_i16 = frontend(jnp.asarray(batch["wave"]),
+                            jnp.asarray(batch["wave_len"]))
+    f_f32, l_f32 = frontend(
+        jnp.asarray(batch["wave"].astype(np.float32) / 32768.0),
+        jnp.asarray(batch["wave_len"]))
+    np.testing.assert_array_equal(np.asarray(f_i16), np.asarray(f_f32))
+    np.testing.assert_array_equal(np.asarray(l_i16), np.asarray(l_f32))
+
+
+def test_non_pcm16_waves_stay_float32(tmp_path):
+    """A waveform that is not int16-representable must keep the f32 path."""
+    from end_to_end_asr_pytorch_tpu.data.dataset import AudioBatchLoader as L
+    w = np.array([0.1, -0.25, 0.3333], np.float32)  # 0.1*32768 not integral
+    packed = L._pack_i16(w)
+    assert packed.dtype == np.float32
+    exact = np.array([0.5, -1.0, 0.25], np.float32)  # all k/32768 multiples
+    assert L._pack_i16(exact).dtype == np.int16
