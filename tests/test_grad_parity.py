@@ -32,15 +32,20 @@ torch.manual_seed(0)
 torch.set_num_threads(1)
 
 V = 31
-CFG = {
-    "ctc_weight": 0.5,
-    "encoder": {"prenet": "vgg", "module": "LSTM", "bidirection": True,
-                "dim": [32], "sample_rate": [1], "sample_style": "drop"},
-    "attention": {"mode": "loc", "dim": 16, "num_head": 1,
-                  "temperature": 0.5, "v_proj": True,
-                  "loc_kernel_size": 11, "loc_kernel_num": 3},
-    "decoder": {"module": "LSTM", "dim": 32, "layer": 1},
-}
+
+
+def make_cfg(att_mode="loc", dec_module="LSTM"):
+    return {
+        "ctc_weight": 0.5,
+        "encoder": {"prenet": "vgg", "module": "LSTM", "bidirection": True,
+                    "dim": [32], "sample_rate": [1], "sample_style": "drop"},
+        "attention": {"mode": att_mode, "dim": 16, "num_head": 1,
+                      "temperature": 0.5, "v_proj": True,
+                      "loc_kernel_size": 11, "loc_kernel_num": 3},
+        "decoder": {"module": dec_module, "dim": 32, "layer": 1},
+    }
+
+
 B, T, D, U = 2, 64, 40, 6
 
 
@@ -105,33 +110,49 @@ def torch_forward(tp, model, feat, teacher):
     cs = torch.zeros(B, model.dec_dim)
     align = torch.full((B, Tp), 1.0 / Tp)
     prev = torch.full((B,), 1, dtype=torch.long)  # <sos> == EOS_IDX == 1
-    kern = tp["loc_conv"].permute(2, 1, 0)        # (F, 1, k)
-    pad = (kern.shape[-1] - 1) // 2
+    if att.mode == "loc":
+        kern = tp["loc_conv"].permute(2, 1, 0)    # (F, 1, k)
+        pad = (kern.shape[-1] - 1) // 2
+    H = model.dec_dim
     logits_seq = []
     for step in range(U):
-        q = hs @ tp["w_q"] + tp["bias"]           # (B, d)
-        f = F.conv1d(align[:, None, :], kern, padding=pad).transpose(1, 2)
-        f = f @ tp["w_f"]                         # (B, T', d)
-        tanh_arg = q[:, None, :] + keys + f
-        energy = torch.einsum("btd,d->bt", torch.tanh(tanh_arg),
-                              tp["v_energy"][0]) / att.temperature
+        if att.mode == "loc":
+            q = hs @ tp["w_q"] + tp["bias"]       # (B, d)
+            f = F.conv1d(align[:, None, :], kern, padding=pad).transpose(1, 2)
+            f = f @ tp["w_f"]                     # (B, T', d)
+            tanh_arg = q[:, None, :] + keys + f
+            energy = torch.einsum("btd,d->bt", torch.tanh(tanh_arg),
+                                  tp["v_energy"][0]) / att.temperature
+        else:                                     # dot
+            q = hs @ tp["w_q"]
+            energy = torch.einsum("bd,btd->bt", q, keys) / att.temperature
         align = torch.softmax(energy, dim=-1)
         ctx = torch.einsum("bt,btv->bv", align, vals)
         emb = tp["embed"][prev]
-        gates = (torch.cat([emb, ctx], dim=-1) @ tp["d_wih"] + tp["d_b"]
-                 + hs @ tp["d_whh"])
-        i, fg, g, o = gates.split(model.dec_dim, dim=-1)
-        cs = torch.sigmoid(fg) * cs + torch.sigmoid(i) * torch.tanh(g)
-        hs = torch.sigmoid(o) * torch.tanh(cs)
+        x = torch.cat([emb, ctx], dim=-1)
+        if model.decoder.module == "lstm":
+            gates = x @ tp["d_wih"] + tp["d_b"] + hs @ tp["d_whh"]
+            i, fg, g, o = gates.split(H, dim=-1)
+            cs = torch.sigmoid(fg) * cs + torch.sigmoid(i) * torch.tanh(g)
+            hs = torch.sigmoid(o) * torch.tanh(cs)
+        else:                                     # gru (torch r,z,n order)
+            xp = x @ tp["d_wih"] + tp["d_b_ih"]
+            hp = hs @ tp["d_whh"] + tp["d_b_hh"]
+            r = torch.sigmoid(xp[:, :H] + hp[:, :H])
+            z = torch.sigmoid(xp[:, H:2*H] + hp[:, H:2*H])
+            n = torch.tanh(xp[:, 2*H:] + r * hp[:, 2*H:])
+            hs = (1.0 - z) * n + z * hs
         logits_seq.append(hs @ tp["char_w"] + tp["char_b"])
         prev = teacher[:, step]
     att_logits = torch.stack(logits_seq, 1)       # (B, U, V)
     return ctc_logp, att_logits
 
 
-@pytest.mark.parametrize("seed", [0])
-def test_full_model_grads_match_torch(seed):
-    model = ASR(D, V, CFG)
+@pytest.mark.parametrize("variant", ["loc-lstm", "dot-gru"])
+def test_full_model_grads_match_torch(variant):
+    seed = 0
+    att_mode, dec_module = variant.split("-")
+    model = ASR(D, V, make_cfg(att_mode, dec_module.upper()))
     params = model.init(jax.random.PRNGKey(seed))
     rng = np.random.RandomState(seed + 10)
     feat = rng.randn(B, T, D).astype(np.float32)
@@ -168,11 +189,17 @@ def test_full_model_grads_match_torch(seed):
         "ctc_w": leaf(params.ctc_w), "ctc_b": leaf(params.ctc_b),
         "embed": leaf(params.embed),
         "w_q": leaf(ap.w_q), "w_k": leaf(ap.w_k), "w_v": leaf(ap.w_v),
-        "loc_conv": leaf(ap.loc_conv), "w_f": leaf(ap.w_f),
-        "bias": leaf(ap.bias), "v_energy": leaf(ap.v_energy),
-        "d_wih": leaf(dc.w_ih), "d_whh": leaf(dc.w_hh), "d_b": leaf(dc.b),
+        "d_wih": leaf(dc.w_ih), "d_whh": leaf(dc.w_hh),
         "char_w": leaf(params.char_w), "char_b": leaf(params.char_b),
     }
+    if att_mode == "loc":
+        tp.update({"loc_conv": leaf(ap.loc_conv), "w_f": leaf(ap.w_f),
+                   "bias": leaf(ap.bias), "v_energy": leaf(ap.v_energy)})
+    if dec_module == "lstm":
+        tp["d_b"] = leaf(dc.b)
+    else:
+        tp["d_b_ih"] = leaf(dc.b_ih)
+        tp["d_b_hh"] = leaf(dc.b_hh)
     tfeat = torch.from_numpy(feat)
     tteach = torch.from_numpy(teacher.astype(np.int64))
     ctc_logp, att_logits = torch_forward(tp, model, tfeat, tteach)
@@ -202,13 +229,19 @@ def test_full_model_grads_match_torch(seed):
         "ctc_w": jg.ctc_w, "ctc_b": jg.ctc_b,
         "embed": jg.embed,
         "w_q": jg.attention.w_q, "w_k": jg.attention.w_k,
-        "w_v": jg.attention.w_v, "loc_conv": jg.attention.loc_conv,
-        "w_f": jg.attention.w_f, "bias": jg.attention.bias,
-        "v_energy": jg.attention.v_energy,
+        "w_v": jg.attention.w_v,
         "d_wih": jg.decoder.cells[0].w_ih, "d_whh": jg.decoder.cells[0].w_hh,
-        "d_b": jg.decoder.cells[0].b,
         "char_w": jg.char_w, "char_b": jg.char_b,
     }
+    if att_mode == "loc":
+        jax_grads.update({
+            "loc_conv": jg.attention.loc_conv, "w_f": jg.attention.w_f,
+            "bias": jg.attention.bias, "v_energy": jg.attention.v_energy})
+    if dec_module == "lstm":
+        jax_grads["d_b"] = jg.decoder.cells[0].b
+    else:
+        jax_grads["d_b_ih"] = jg.decoder.cells[0].b_ih
+        jax_grads["d_b_hh"] = jg.decoder.cells[0].b_hh
     for name, jgrad in jax_grads.items():
         tgrad = tp[name].grad
         assert tgrad is not None, f"{name}: no torch grad"
