@@ -136,3 +136,26 @@ def test_nan_grad_skips_step():
     good = {"w": jnp.ones((3,))}
     new_params, state = opt.step(good, state, new_params)
     assert not np.allclose(np.asarray(new_params["w"]), np.ones(3))
+
+
+def test_prefetch_to_device_matches_inline_path():
+    """prefetch_to_device must yield exactly what pad_batch_to+shard_batch
+    produce inline, in order, with host mirrors intact."""
+    from end_to_end_asr_pytorch_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(8)
+    rng = np.random.RandomState(0)
+    batches = [{"wave": rng.randn(5 + i, 16).astype(np.float32),
+                "text_len": np.arange(5 + i, dtype=np.int32),
+                "name": [f"u{i}-{j}" for j in range(5 + i)]}
+               for i in range(4)]
+    got = list(pmesh.prefetch_to_device(iter(batches), mesh, 8))
+    assert len(got) == 4
+    for (sb, hb), src in zip(got, batches):
+        ref = pmesh.pad_batch_to(src, 8)
+        assert sb["wave"].shape[0] % 8 == 0
+        np.testing.assert_array_equal(np.asarray(sb["wave"]), ref["wave"])
+        np.testing.assert_array_equal(hb["text_len"], ref["text_len"])
+        assert sb["name"] == src["name"]          # non-arrays pass through
+        assert hb["wave"] is not None and isinstance(hb["wave"], np.ndarray)
+        # sharded over the ('data',) mesh
+        assert len(sb["wave"].sharding.device_set) == 8
