@@ -73,22 +73,53 @@ def prefetch_to_device(batches, mesh: Mesh, multiple: int, depth: int = 2):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
     stop = object()
+    cancel = threading.Event()
+    error: list = []
 
     def worker():
         try:
             for b in batches:
+                if cancel.is_set():
+                    return
                 hb = pad_batch_to(b, multiple)
-                q.put((shard_batch(mesh, hb), hb))
+                item = (shard_batch(mesh, hb), hb)
+                while not cancel.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        continue
+        except BaseException as e:  # propagate to the consumer, not silence
+            error.append(e)
         finally:
-            q.put(stop)
+            # the stop sentinel MUST land (a dropped sentinel deadlocks the
+            # consumer on q.get) — block for it, but stay cancellable
+            while not cancel.is_set():
+                try:
+                    q.put(stop, timeout=0.2)
+                    break
+                except _queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if error:
+                    raise error[0]
+                break
+            yield item
+    finally:
+        # consumer broke out early (max_step, exception): unblock and stop
+        # the worker so it doesn't pin prefetched device batches in HBM
+        cancel.set()
+        while True:
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                break
 
 
 def pad_batch_to(batch: dict, multiple: int) -> dict:

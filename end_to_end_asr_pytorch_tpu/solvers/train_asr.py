@@ -147,8 +147,12 @@ class Solver(BaseSolver):
                 feat, feat_len = frontend(wave, wave_len)
                 if aug_cfg:
                     from ..ops.augment import spec_augment
-                    nonlocal_rng = jax.random.fold_in(rng, 1)
-                    feat = spec_augment(feat, feat_len, nonlocal_rng, aug_cfg)
+                    # NOT fold_in(rng, small-i): split(k, n)[i] == fold_in(k,
+                    # i) for threefry, and model.forward splits rng 3 ways —
+                    # a small constant would make the SpecAugment draws
+                    # bit-identical to the teacher-forcing coin stream
+                    aug_rng = jax.random.fold_in(rng, 1_000_003)
+                    feat = spec_augment(feat, feat_len, aug_rng, aug_cfg)
                 if amp:
                     asr_p = _cast_bf16(asr_p)
                     feat = feat.astype(jnp.bfloat16)
@@ -191,6 +195,7 @@ class Solver(BaseSolver):
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["tf_rate"] = tf_rate  # the schedule actually applied
             return params, opt_state, step + 1, metrics
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
@@ -246,12 +251,8 @@ class Solver(BaseSolver):
                 utts += int(np.sum(batch["text_len"] > 0))
                 self.step += 1
                 if self.step % self.PROGRESS_STEP == 0:
-                    # display-only mirror of the on-device tf schedule
-                    tf_rate = (self.tf_start
-                               - (self.tf_start - self.tf_end)
-                               * min((self.step - 1) / max(self.tf_step, 1),
-                                     1.0))
                     m = {k: float(v) for k, v in metrics.items()}
+                    tf_rate = m.get("tf_rate", self.tf_start)
                     dt = time.time() - t0
                     self.progress(
                         f"loss {m.get('loss', 0):.3f} | "

@@ -2,6 +2,9 @@
 the same loss and updated params as the single-device step (XLA's inserted
 psum == explicit sum), plus optimizer/scheduler unit checks."""
 import sys
+import time
+
+import pytest
 from pathlib import Path
 
 import jax
@@ -159,3 +162,44 @@ def test_prefetch_to_device_matches_inline_path():
         assert hb["wave"] is not None and isinstance(hb["wave"], np.ndarray)
         # sharded over the ('data',) mesh
         assert len(sb["wave"].sharding.device_set) == 8
+
+
+def test_prefetch_to_device_propagates_worker_errors():
+    """A failure inside the producer (bad audio, OOM) must surface to the
+    consumer, not silently truncate the epoch."""
+    from end_to_end_asr_pytorch_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(8)
+
+    def bad_batches():
+        yield {"wave": np.zeros((8, 4), np.float32)}
+        raise RuntimeError("corrupt utterance")
+
+    it = pmesh.prefetch_to_device(bad_batches(), mesh, 8)
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt utterance"):
+        next(it)
+
+
+def test_prefetch_to_device_early_abandon_stops_worker():
+    """Breaking out of the consumer (max_step mid-epoch) must cancel the
+    worker thread instead of leaving it blocked on a full queue."""
+    import threading
+    from end_to_end_asr_pytorch_tpu.parallel import mesh as pmesh
+    mesh = pmesh.make_mesh(8)
+    produced = []
+
+    def many_batches():
+        for i in range(100):
+            produced.append(i)
+            yield {"wave": np.zeros((8, 4), np.float32)}
+
+    before = threading.active_count()
+    it = pmesh.prefetch_to_device(many_batches(), mesh, 8, depth=2)
+    next(it)
+    it.close()  # what an abandoned for-loop break does via GC/finally
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "worker thread leaked"
+    assert len(produced) < 100  # it stopped producing early
