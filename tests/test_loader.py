@@ -109,3 +109,38 @@ def test_non_pcm16_waves_stay_float32(tmp_path):
     assert packed.dtype == np.float32
     exact = np.array([0.5, -1.0, 0.25], np.float32)  # all k/32768 multiples
     assert L._pack_i16(exact).dtype == np.int16
+
+
+def test_flac_corpus_end_to_end_train(tmp_path):
+    """The LibriSpeech on-disk reality: FLAC files + trans.txt, decoded by
+    the native C++ decoder, packed int16, trained for a few steps — the
+    full corpus->loader->device->train integration for the reference's
+    actual data format (SURVEY.md 2.11)."""
+    from tests.flac_encoder import encode_flac
+    from end_to_end_asr_pytorch_tpu.data.audio_io import load_audio
+
+    root = tmp_path / "flac_corpus"
+    synthetic.generate_corpus(str(root), n_train=8, n_dev=4, n_test=4,
+                              max_words=2)
+    n_conv = 0
+    for wav in root.rglob("*.wav"):
+        wave, sr = load_audio(str(wav))
+        pcm = np.clip(np.round(wave * 32768.0), -32768, 32767).astype(np.int16)
+        wav.with_suffix(".flac").write_bytes(encode_flac(pcm, sr=sr))
+        wav.unlink()
+        n_conv += 1
+    assert n_conv == 16 and not list(root.rglob("*.wav"))
+
+    import argparse
+    from end_to_end_asr_pytorch_tpu.solvers.train_asr import Solver
+    from tests.test_e2e_train import _asr_config, _paras
+    cfg = _asr_config(root, ctc_weight=1.0, max_step=4)
+    cfg["data"]["corpus"]["batch_size"] = 4
+    solver = Solver(cfg, _paras(tmp_path, "flac"), "train")
+    solver.load_data()
+    # FLAC decodes PCM16 -> batches must take the int16 wire format
+    b = solver.tr_set.make_batch(solver.tr_set.batches[0])
+    assert b["wave"].dtype == np.int16
+    solver.set_model()
+    solver.exec()
+    assert solver.step == 4
