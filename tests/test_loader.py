@@ -131,7 +131,6 @@ def test_flac_corpus_end_to_end_train(tmp_path):
         n_conv += 1
     assert n_conv == 16 and not list(root.rglob("*.wav"))
 
-    import argparse
     from end_to_end_asr_pytorch_tpu.solvers.train_asr import Solver
     from tests.test_e2e_train import _asr_config, _paras
     cfg = _asr_config(root, ctc_weight=1.0, max_step=4)
