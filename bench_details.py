@@ -183,6 +183,44 @@ def main():
             "mfu_vs_197T_bf16_peak": round(tflops / 197.0, 4),
         }
 
+    # ------------------------------------------------ 4. LM train throughput
+    from end_to_end_asr_pytorch_tpu.models.lm import RNNLM as _RNNLM
+    lm_tr = _RNNLM(VOCAB, LM_CFG)
+    lm_ps = lm_tr.init(jax.random.PRNGKey(7))
+    lm_opt = Optimizer({"optimizer": "Adam", "lr": 1e-3}, grad_clip=5.0)
+    lm_os = lm_opt.init(lm_ps)
+    BL, UL = 256, 96
+
+    def lm_step(ps, os_, tx_, tl_, rng):
+        def loss_fn(p):
+            sos = jnp.full((BL, 1), 1, jnp.int32)
+            inp = jnp.concatenate([sos, tx_[:, :-1]], axis=1)
+            logits = lm_tr.forward(p, inp, tl_, train=True, rng=rng)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, tx_[..., None], axis=-1)[..., 0]
+            mask = (jnp.arange(UL)[None] < tl_[:, None]).astype(nll.dtype)
+            return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        loss, grads = jax.value_and_grad(loss_fn)(ps)
+        ups, os_ = lm_opt.tx.update(grads, os_, ps)
+        return optax.apply_updates(ps, ups), os_, loss
+
+    lm_fn = jax.jit(lm_step, donate_argnums=(0, 1))
+    ltx = jnp.asarray(np.random.RandomState(1).randint(2, VOCAB, (BL, UL)),
+                      jnp.int32)
+    ltl = jnp.full((BL,), UL, jnp.int32)
+    lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl, jax.random.PRNGKey(8))
+    jax.block_until_ready(l)
+    t0 = time.perf_counter()
+    for i in range(20):
+        lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl,
+                                jax.random.PRNGKey(9 + i))
+    jax.block_until_ready(l)
+    dt = (time.perf_counter() - t0) / 20
+    out["lm_train_batch256"] = {
+        "ms_per_step": round(dt * 1e3, 2),
+        "tokens_per_sec": round(BL * UL / dt, 0),
+    }
+
     Path("bench_details.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out, indent=1))
 
