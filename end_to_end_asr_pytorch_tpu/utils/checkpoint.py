@@ -13,7 +13,6 @@ import json
 from pathlib import Path
 from typing import Any, Dict, Optional
 
-import numpy as np
 from flax import serialization
 
 

@@ -8,7 +8,7 @@ that dependency is replaced by our own native C++ batch Levenshtein
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 
