@@ -85,7 +85,9 @@ def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
                      last_tok: jnp.ndarray, prefix_len: jnp.ndarray,
                      blank: int = 0, cand_ids: jnp.ndarray | None = None,
-                     with_state: bool = True
+                     with_state: bool = True,
+                     probs: jnp.ndarray | None = None,
+                     lp_vt: jnp.ndarray | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
@@ -105,6 +107,13 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
     tokens (0 = empty prefix). When ``cand_ids`` (B, K, C) is given, only
     those extensions are scored (the reference's cheap_compute, SURVEY.md
     2.16); otherwise all V.
+
+    ``probs`` (= exp(ctc_lp)) and ``lp_vt`` (= moveaxis(ctc_lp, 1, 2))
+    are loop-invariant (B, T, V)-sized tensors: callers scoring many steps
+    (the beam loop) should precompute them ONCE outside the step — XLA does
+    not hoist them out of the while body, and at subword vocab sizes
+    recomputing/relayouting ~92 MB per step dominated the decode (measured
+    504 -> 1464 utts/sec at V=1024, B=128 after hoisting).
 
     Returns (psi (B, K, C) full prefix log-prob of each extension,
              r_new (B, K, C, T, 2) state of each extension); C = V if
@@ -146,7 +155,8 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         phi_same = jnp.concatenate(
             [phi_m1_col, r_b_prev[..., :-1]], axis=-1)      # (B, K, T)
 
-        probs = jnp.exp(ctc_lp)                             # (B, T, V)
+        if probs is None:
+            probs = jnp.exp(ctc_lp)                         # (B, T, V)
         md = jnp.maximum(jnp.max(phi_diff, -1, keepdims=True), NEG_INF / 2)
         wd = jnp.exp(phi_diff - md)
         psi_diff = md + jnp.log(jnp.einsum(
@@ -170,13 +180,23 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         return psi_full, None
 
     # per-candidate emission log-probs over time: xs (B, K, C, T)
+    if lp_vt is None:
+        lp_vt = jnp.moveaxis(ctc_lp, 1, 2)                  # (B, V, T)
     if cand_ids is None:
-        xs = jnp.broadcast_to(
-            jnp.moveaxis(ctc_lp, 1, 2)[:, None], (B, K, V, T))
+        xs = jnp.broadcast_to(lp_vt[:, None], (B, K, V, T))
+    elif C <= 8:
+        # row-select via one-hot matmul (EXACT: one unit term per row, f32
+        # accumulate). The take_along_axis-on-broadcast form below profiled
+        # at ~650 us/step at V=1024 in the beam's winner-state recompute
+        # (C=1); this is one MXU matmul reading lp_vt once (~150 us).
+        oh = jax.nn.one_hot(cand.reshape(B, K * C), V, dtype=lp_vt.dtype)
+        xs = jnp.einsum("bnv,bvt->bnt", oh, lp_vt,
+                        preferred_element_type=jnp.float32
+                        ).reshape(B, K, C, T)
     else:
         xs = jnp.take_along_axis(
-            jnp.broadcast_to(jnp.moveaxis(ctc_lp, 1, 2)[:, None],
-                             (B, K, V, T)), cand[..., None], axis=2)
+            jnp.broadcast_to(lp_vt[:, None], (B, K, V, T)),
+            cand[..., None], axis=2)
     xs = jnp.maximum(xs, CLIP)
     bl = jnp.maximum(ctc_lp[:, :, blank], CLIP)            # (B, T)
 
