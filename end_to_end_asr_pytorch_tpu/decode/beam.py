@@ -323,12 +323,18 @@ class BeamDecoder:
                 oh = jax.nn.one_hot(k_idx, K, dtype=jnp.bfloat16)
 
                 def resel(x):
-                    if x is None or x.ndim < 2 or x.shape[1] != B * K:
+                    # beam-axis reorder for any state leaf shaped
+                    # (..., B*K, trailing...) with the fold on axis 1;
+                    # arbitrary trailing dims are flattened into one.
+                    if x is None or (x.ndim >= 2 and x.shape[1] != B * K):
                         return x
-                    Lx, _, Hx = x.shape
-                    xr = x.reshape(Lx, B, K, Hx)
+                    assert x.ndim >= 2, (
+                        f"unexpected rank-{x.ndim} decoder/LM state leaf "
+                        f"{x.shape}; resel assumes the B*K fold on axis 1")
+                    Lx = x.shape[0]
+                    xr = x.reshape(Lx, B, K, -1)
                     out = jnp.einsum("bkj,lbjh->lbkh", oh.astype(x.dtype), xr)
-                    return out.reshape(Lx, B * K, Hx)
+                    return out.reshape(x.shape)
 
                 def resel_f32(x):
                     # EXACT for f32 too under HIGHEST precision: the one-hot

@@ -20,7 +20,8 @@ def ctc_greedy(ctc_output: jnp.ndarray) -> jnp.ndarray:
 
 def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
                enc_len: jnp.ndarray, max_step: int,
-               plugin=None, plugin_params=None) -> jnp.ndarray:
+               plugin=None, plugin_params=None,
+               amp: bool = False) -> jnp.ndarray:
     """Self-fed argmax decode for ``max_step`` steps -> (B, U) ids.
     Stops contributing after the first <eos> (ids forced to eos thereafter,
     which the tokenizer's decode truncates).
@@ -34,8 +35,11 @@ def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
     sos = jnp.full((B,), EOS_IDX, jnp.int32)
     fuse = plugin is not None and plugin.apply_fuse
     # first-layer lookup fast path (same table as the training scan and the
-    # beam loop): no embedding row-gathers inside the step
-    tables = model.precompute_decode_tables(p)
+    # beam loop): no embedding row-gathers inside the step. Gated on amp,
+    # matching the beam decoder's policy — non-amp decode keeps the original
+    # exact-f32 op sequence (the one-hot table matmul would bf16-round at
+    # DEFAULT precision on TPU and can flip argmax near ties).
+    tables = model.precompute_decode_tables(p) if amp else None
 
     def step(carry, _):
         state, align, prev_tok, done = carry

@@ -189,9 +189,14 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         # accumulate). The take_along_axis-on-broadcast form below profiled
         # at ~650 us/step at V=1024 in the beam's winner-state recompute
         # (C=1); this is one MXU matmul reading lp_vt once (~150 us).
+        # precision=HIGHEST: this branch also runs in NON-amp decode (the
+        # beam's C=1 winner-state recompute); DEFAULT precision would
+        # bf16-round the f32 lp_vt operand on TPU and silently change
+        # non-amp numerics. At C<=8 the cost is negligible.
         oh = jax.nn.one_hot(cand.reshape(B, K * C), V, dtype=lp_vt.dtype)
         xs = jnp.einsum("bnv,bvt->bnt", oh, lp_vt,
-                        preferred_element_type=jnp.float32
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST
                         ).reshape(B, K, C, T)
     else:
         xs = jnp.take_along_axis(

@@ -221,7 +221,7 @@ class Solver(BaseSolver):
                 # too (reference behavior surface, SURVEY.md 2.18)
                 out["att_pred"] = att_greedy(model, asr_p, enc, enc_len,
                                              max_dec, plugin=plugin,
-                                             plugin_params=plugin_p)
+                                             plugin_params=plugin_p, amp=amp)
                 # teacher-forced pass for attention plots + att loss
                 _, _, att_out, att_align, _ = model.forward(
                     asr_p, feat, feat_len, U, 1.0, teacher=text)
