@@ -179,21 +179,55 @@ class AudioBatchLoader:
             return
         q: "queue.Queue" = queue.Queue(maxsize=max(2, self.n_jobs * 2))
         stop = object()
+        cancel = threading.Event()
+        error: list = []
 
         def worker():
+            # same cancellation contract as parallel/mesh.prefetch_to_device:
+            # a consumer that abandons the epoch early (max_step break) must
+            # not leave this thread blocked forever on q.put pinning
+            # assembled batches; errors propagate instead of silently
+            # truncating the epoch
             try:
                 for bi in order:
-                    q.put(self.make_batch(self.batches[bi]))
+                    if cancel.is_set():
+                        return
+                    item = self.make_batch(self.batches[bi])
+                    while not cancel.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:
+                error.append(e)
             finally:
-                q.put(stop)
+                # the stop sentinel MUST land (a dropped sentinel deadlocks
+                # the consumer on q.get) — block for it, but stay cancellable
+                while not cancel.is_set():
+                    try:
+                        q.put(stop, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    if error:
+                        raise error[0]
+                    break
+                yield item
+        finally:
+            cancel.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         return self.epoch_iter()

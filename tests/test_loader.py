@@ -29,6 +29,39 @@ def test_prefetch_thread_yields_same_batches(ds):
         assert ba["name"] == bb["name"]
 
 
+def test_prefetch_thread_abandoned_epoch_stops_worker(ds):
+    """A consumer that abandons the epoch early (max_step break) must not
+    leave the loader's worker thread blocked forever on q.put: the
+    generator's close() sets the cancel event and the thread exits."""
+    import threading
+    import time
+
+    loader = AudioBatchLoader(ds, 1, shuffle=False, n_jobs=2)
+    assert len(loader) >= 4
+    before = threading.active_count()
+    it = loader.epoch_iter(shuffle=False)
+    next(it)            # worker started, queue filling
+    it.close()          # abandon mid-epoch -> GeneratorExit -> cancel
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "loader worker thread leaked"
+
+
+def test_prefetch_thread_propagates_worker_error(ds):
+    """An exception inside batch assembly must surface in the consumer, not
+    silently truncate the epoch."""
+    loader = AudioBatchLoader(ds, 4, shuffle=False, n_jobs=1)
+    boom = RuntimeError("decode failed")
+
+    def bad_make_batch(ids):
+        raise boom
+
+    loader.make_batch = bad_make_batch
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(loader.epoch_iter(shuffle=False))
+
+
 def test_curriculum_order_is_length_ascending(ds):
     loader = AudioBatchLoader(ds, 4, shuffle=True, seed=1)
     ordered = list(loader.epoch_iter(shuffle=False))
