@@ -115,50 +115,64 @@ class Solver(BaseSolver):
             self._decode_set(name, dataset)
 
     def _decode_set(self, split_name: str, dataset):
-        hyps, refs, names, nbest_rows = [], [], [], []
+        # output rows stream to disk per batch (constant memory over an
+        # arbitrarily long split); error rates accumulate as running sums
         n_utts = 0
+        wer_sum = cer_sum = 0.0
+        wer_n = cer_n = 0
+        audio_sec = 0.0
         t0 = time.time()
-        for sb, batch in pmesh.prefetch_to_device(iter(dataset), self.mesh,
-                                                  self.n_dev):
-            out = self._run_batch(sb, batch)
-            B = len(batch["name"])
-            for i in range(B):
-                if batch["text_len"][i] == 0:
-                    continue
-                names.append(batch["name"][i])
-                refs.append(batch["text_raw"][i])
-                hyps.append(out["best"][i])
-                for k, (h, s) in enumerate(out["nbest"][i]):
-                    nbest_rows.append(
-                        f"{batch['name'][i]}\t{k}\t{s:.4f}\t{h}")
-                n_utts += 1
-        dt = time.time() - t0
-        wer = self._er(hyps, refs, "wer")
-        cer = self._er(hyps, refs, "cer")
         out_file = self.outdir / f"{split_name}_output.csv"
-        with open(out_file, "w", encoding="utf-8") as f:
-            f.write("idx\thyp\ttruth\n")
-            for n, h, r in zip(names, hyps, refs):
-                f.write(f"{n}\t{h}\t{r}\n")
-        with open(self.outdir / f"{split_name}_beam.csv", "w",
-                  encoding="utf-8") as f:
-            f.write("idx\trank\tscore\thyp\n")
-            f.write("\n".join(nbest_rows) + "\n")
+        with open(out_file, "w", encoding="utf-8") as f_out, \
+                open(self.outdir / f"{split_name}_beam.csv", "w",
+                     encoding="utf-8") as f_beam:
+            f_out.write("idx\thyp\ttruth\n")
+            f_beam.write("idx\trank\tscore\thyp\n")
+            wrote_nbest = False
+            for sb, batch in pmesh.prefetch_to_device(
+                    iter(dataset), self.mesh, self.n_dev):
+                out = self._run_batch(sb, batch)
+                B = len(batch["name"])
+                for i in range(B):
+                    if batch["text_len"][i] == 0:
+                        continue
+                    name = batch["name"][i]
+                    ref = batch["text_raw"][i]
+                    hyp = out["best"][i]
+                    f_out.write(f"{name}\t{hyp}\t{ref}\n")
+                    for k, (h, s) in enumerate(out["nbest"][i]):
+                        f_beam.write(f"{name}\t{k}\t{s:.4f}\t{h}\n")
+                        wrote_nbest = True
+                    e = self._er_one(hyp, ref, "wer")
+                    if e is not None:
+                        wer_sum += e
+                        wer_n += 1
+                    e = self._er_one(hyp, ref, "cer")
+                    if e is not None:
+                        cer_sum += e
+                        cer_n += 1
+                    audio_sec += float(batch["wave_len"][i]) / 16000.0
+                    n_utts += 1
+            if not wrote_nbest:
+                f_beam.write("\n")
+        dt = time.time() - t0
+        wer = wer_sum / wer_n if wer_n else 0.0
+        cer = cer_sum / cer_n if cer_n else 0.0
+        rtf_inv = audio_sec / dt if dt > 0 else 0.0
         self.verbose(
             f"{split_name}: {n_utts} utts | WER {wer:.3f} | CER {cer:.3f} | "
-            f"{n_utts / dt:.2f} utts/sec | RTF-inverse see bench.py | "
-            f"wrote {out_file}")
-        return {"wer": wer, "cer": cer, "utts_per_sec": n_utts / dt}
+            f"{n_utts / dt:.2f} utts/sec | RTF-inverse {rtf_inv:.1f}x "
+            f"realtime | wrote {out_file}")
+        return {"wer": wer, "cer": cer, "utts_per_sec": n_utts / dt,
+                "rtf_inverse": rtf_inv}
 
-    def _er(self, hyps, refs, mode):
+    def _er_one(self, h, r, mode):
         from ..utils.metrics import edit_distance
-        ers = []
-        for h, r in zip(hyps, refs):
-            hs, rs = (h.split(), r.split()) if mode == "wer" else (list(h),
-                                                                   list(r))
-            if rs:
-                ers.append(edit_distance(hs, rs) / len(rs))
-        return float(np.mean(ers)) if ers else 0.0
+        hs, rs = (h.split(), r.split()) if mode == "wer" else (list(h),
+                                                               list(r))
+        if not rs:
+            return None
+        return edit_distance(hs, rs) / len(rs)
 
     def _run_batch(self, sb, batch):
         # sb: the batch padded to a mesh multiple and sharded over the mesh
