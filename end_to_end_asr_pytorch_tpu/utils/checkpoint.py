@@ -48,7 +48,17 @@ def save_checkpoint(path: str, model_params: Any, opt_state: Any = None,
 
 def load_checkpoint(path: str, model_template: Any,
                     opt_template: Any = None) -> Dict[str, Any]:
-    """Returns {'model', 'optimizer' (or None), 'global_step', 'metrics'}."""
+    """Returns {'model', 'optimizer' (or None), 'global_step', 'metrics'}.
+
+    The format is sniffed: a reference (PyTorch ``torch.save``) checkpoint
+    is transparently translated to this framework's params via
+    ``utils.torch_ckpt`` — ``--load some_reference_ckpt.pth`` just works
+    (SURVEY.md 3.5 asset portability). Optimizer state is only restored
+    from native checkpoints (torch optimizer state is not optax-portable).
+    """
+    from .torch_ckpt import is_torch_checkpoint, load_torch_checkpoint
+    if is_torch_checkpoint(path):
+        return load_torch_checkpoint(path, model_template)
     with open(path, "rb") as f:
         hlen = int.from_bytes(f.read(8), "little")
         header = json.loads(f.read(hlen).decode())
