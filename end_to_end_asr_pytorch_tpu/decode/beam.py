@@ -146,26 +146,31 @@ class BeamDecoder:
         max_len = jnp.maximum(
             jnp.ceil(self.max_len_ratio * enc_len).astype(jnp.int32), 1)
 
+        # candidate-set size for CTC scoring (C < V = 'cheap_compute' mode)
+        C = V if (not self.use_ctc or V <= self.ctc_candidates) \
+            else self.ctc_candidates
+
         if self.use_ctc:
             ctc_lp = ctc_prefix.pad_ctc_log_probs(
                 model.ctc_output(p, enc), enc_len)
             r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
-            # loop-invariant (B,T,V)-sized companions of ctc_lp, computed
-            # ONCE here: XLA does not hoist them out of the while body, and
-            # at subword vocab sizes recomputing exp() / the (B,V,T)
-            # relayout cost ~92 MB of HBM traffic per step each
+            # loop-invariant companions of ctc_lp, computed ONCE here (XLA
+            # does not hoist them out of the while body):
+            #   - ctc_probs = exp(ctc_lp), the phase-1 psi matmul operand.
+            #     Under amp it is bf16: the einsum re-reads this (B,T,V)
+            #     tensor every step and is bandwidth-bound (M=K=8 rows per
+            #     sample); psi still accumulates in f32 (top-1 sequences
+            #     verified identical on the synthetic test set, WER 0.000).
+            #   - blank_lp, so the scan never touches the (B,T,V) f32
+            #     ctc_lp except through tiny exact lane gathers (phase-2
+            #     winner xs, psi_same's p_last).
+            blank_lp = jnp.maximum(ctc_lp[:, :, 0], ctc_prefix.CLIP)
             ctc_probs = jnp.exp(ctc_lp)
             if self.amp:
-                # the phase-1 psi einsum re-reads this (B,T,V) tensor every
-                # step and is bandwidth-bound (M=K=8 rows per sample): bf16
-                # halves that traffic; psi still accumulates in f32. Same
-                # contract as the bf16 attention cache (top-1 sequences
-                # verified identical on the synthetic test set, WER 0.000).
                 ctc_probs = ctc_probs.astype(jnp.bfloat16)
-            ctc_lp_vt = jnp.moveaxis(ctc_lp, 1, 2)
         else:
             ctc_lp = r_state = None
-            ctc_probs = ctc_lp_vt = None
+            ctc_probs = blank_lp = None
             psi_prev = jnp.zeros((B, K))
 
         use_lm = self.lm is not None
@@ -176,10 +181,6 @@ class BeamDecoder:
         tables = model.precompute_decode_tables(p) if self.amp else None
         lm_embp = (self.lm.emb_proj_table(lm_params)
                    if (use_lm and self.amp) else None)
-
-        # candidate-set size for CTC scoring
-        C = V if (not self.use_ctc or V <= self.ctc_candidates) \
-            else self.ctc_candidates
 
         # NOTE the carry holds NO (B, K, L) token buffers: sequences are
         # reconstructed AFTER the scan by backtracing the per-step
@@ -270,19 +271,24 @@ class BeamDecoder:
                 # When C == V the candidate set is the identity — avoid the
                 # take_along_axis gathers entirely (profiled as the hottest
                 # while-body ops: 29us each for 4KB of data).
+                # psi is ALWAYS computed over the full vocab by the MXU
+                # matmul (one bf16 read of the (B,T,V) probs under amp);
+                # candidate mode then restricts the continuation set by
+                # small output-side lane gathers. Gathering candidate
+                # emission ROWS instead (reads scaling with C, not V)
+                # measured 2-9x SLOWER end-to-end: TPU axis-1 row gathers
+                # serialize (bench_vocab, round 3).
+                psi_full, _ = ctc_prefix.score_candidates(
+                    ctc_lp, carry["r"], carry["last"],
+                    jnp.full((B, K), t, jnp.int32), with_state=False,
+                    probs=ctc_probs)
                 if C < V:
                     _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
-                    psi, _ = ctc_prefix.score_candidates(
-                        ctc_lp, carry["r"], carry["last"],
-                        jnp.full((B, K), t, jnp.int32), cand_ids=cand,
-                        with_state=False, probs=ctc_probs, lp_vt=ctc_lp_vt)
+                    psi = jnp.take_along_axis(psi_full, cand, axis=2)
                     sc = jnp.take_along_axis(masked, cand, axis=2)
                 else:
                     cand = None
-                    psi, _ = ctc_prefix.score_candidates(
-                        ctc_lp, carry["r"], carry["last"],
-                        jnp.full((B, K), t, jnp.int32), with_state=False,
-                        probs=ctc_probs, lp_vt=ctc_lp_vt)
+                    psi = psi_full
                     sc = masked
                 tot = base[:, :, None] + sc + cw * psi          # (B, K, C)
             else:
@@ -388,8 +394,7 @@ class BeamDecoder:
                 _, r_g = ctc_prefix.score_candidates(
                     ctc_lp, r_sel, last_sel,
                     jnp.full((B, K), t, jnp.int32),
-                    cand_ids=v_idx[..., None],
-                    probs=ctc_probs, lp_vt=ctc_lp_vt)
+                    cand_ids=v_idx[..., None], blank_lp=blank_lp)
                 out["psi"] = psi_g
                 out["r"] = r_g[:, :, 0]
             else:

@@ -82,12 +82,14 @@ def _cumsum(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(x, -1, axis)
 
 
-def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
+def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
                      last_tok: jnp.ndarray, prefix_len: jnp.ndarray,
                      blank: int = 0, cand_ids: jnp.ndarray | None = None,
                      with_state: bool = True,
                      probs: jnp.ndarray | None = None,
-                     lp_vt: jnp.ndarray | None = None
+                     lp_vt: jnp.ndarray | None = None,
+                     probs_vt: jnp.ndarray | None = None,
+                     blank_lp: jnp.ndarray | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
@@ -108,19 +110,35 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
     those extensions are scored (the reference's cheap_compute, SURVEY.md
     2.16); otherwise all V.
 
-    ``probs`` (= exp(ctc_lp)) and ``lp_vt`` (= moveaxis(ctc_lp, 1, 2))
-    are loop-invariant (B, T, V)-sized tensors: callers scoring many steps
-    (the beam loop) should precompute them ONCE outside the step — XLA does
-    not hoist them out of the while body, and at subword vocab sizes
-    recomputing/relayouting ~92 MB per step dominated the decode (measured
-    504 -> 1464 utts/sec at V=1024, B=128 after hoisting).
+    ``probs`` (= exp(ctc_lp)), ``lp_vt`` (= moveaxis(ctc_lp, 1, 2)),
+    ``probs_vt`` (= exp(lp_vt)) and ``blank_lp`` (= max(ctc_lp[:,:,blank],
+    CLIP)) are loop-invariant (B, T, V)- / (B, T)-sized tensors: callers
+    scoring many steps (the beam loop) should precompute them ONCE outside
+    the step — XLA does not hoist them out of the while body, and at subword
+    vocab sizes recomputing/relayouting ~92 MB per step dominated the decode
+    (measured 504 -> 1464 utts/sec at V=1024, B=128 after hoisting). When
+    every needed companion is supplied, ``ctc_lp`` itself may be None (so
+    the (B, T, V) f32 tensor is not kept live through the decode scan).
+
+    When BOTH ``cand_ids`` and ``probs_vt`` are given in psi-only mode, the
+    scorer row-gathers the C candidate emission rows from ``probs_vt``
+    (B, V, T) instead of computing the full-vocab (B,K,V) einsum: per-step
+    HBM reads drop from O(B*T*V) to O(B*K*C*T) — the fix that keeps beam
+    decode fast at subword vocab sizes (C ``<<`` V).
 
     Returns (psi (B, K, C) full prefix log-prob of each extension,
              r_new (B, K, C, T, 2) state of each extension); C = V if
     cand_ids is None.
     """
     B, K, T, _ = r_prev.shape
-    V = ctc_lp.shape[-1]
+    if ctc_lp is not None:
+        V = ctc_lp.shape[-1]
+    elif lp_vt is not None:
+        V = lp_vt.shape[1]
+    elif probs_vt is not None:
+        V = probs_vt.shape[1]
+    else:
+        V = probs.shape[-1]
 
     if cand_ids is None:
         C = V
@@ -155,16 +173,49 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         phi_same = jnp.concatenate(
             [phi_m1_col, r_b_prev[..., :-1]], axis=-1)      # (B, K, T)
 
+        if cand_ids is not None and probs_vt is not None:
+            # ------ candidate-restricted psi: row-gather from (B, V, T) ----
+            # The full-vocab einsum below re-reads the whole (B,T,V) probs
+            # tensor every step; at subword vocabs that is the decode's
+            # dominant HBM traffic (V=16k, B=128, T=112 bf16: ~460 MB/step).
+            # Here only the K*C candidate rows are gathered (contiguous
+            # T-length rows of probs_vt), so reads scale with C, not V.
+            idx = cand.reshape(B, K * C, 1).astype(jnp.int32)
+            pc = jnp.take_along_axis(probs_vt, idx, axis=1)  # (B, K*C, T)
+            pc = pc.reshape(B, K, C, T)
+            md = jnp.maximum(jnp.max(phi_diff, -1, keepdims=True),
+                             NEG_INF / 2)
+            wd = jnp.exp(phi_diff - md).astype(probs_vt.dtype)
+            psi_diff = md + jnp.log(jnp.einsum(
+                "bkt,bkct->bkc", wd, pc,
+                preferred_element_type=jnp.float32) + 1e-38)  # (B, K, C)
+            ms = jnp.maximum(jnp.max(phi_same, -1, keepdims=True),
+                             NEG_INF / 2)
+            ws = jnp.exp(phi_same - ms).astype(probs_vt.dtype)
+            p_last = jnp.take_along_axis(
+                probs_vt, last_tok[..., None].astype(jnp.int32),
+                axis=1)                                       # (B, K, T)
+            psi_same = ms[..., 0] + jnp.log(jnp.einsum(
+                "bkt,bkt->bk", ws, p_last,
+                preferred_element_type=jnp.float32) + 1e-38)  # (B, K)
+            psi = jnp.where(cand == last_tok[..., None],
+                            psi_same[..., None], psi_diff)
+            return jnp.where(cand == blank, NEG_INF, psi), None
+
         if probs is None:
             probs = jnp.exp(ctc_lp)                         # (B, T, V)
         md = jnp.maximum(jnp.max(phi_diff, -1, keepdims=True), NEG_INF / 2)
-        wd = jnp.exp(phi_diff - md)
+        # match the small operand's dtype to probs: a mixed f32 x bf16
+        # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
+        # materialized copy EVERY step) instead of running the native bf16
+        # MXU path; wd/ws casts keep psi's f32 accumulation
+        wd = jnp.exp(phi_diff - md).astype(probs.dtype)
         psi_diff = md + jnp.log(jnp.einsum(
             "bkt,btv->bkv", wd, probs,
             preferred_element_type=jnp.float32) + 1e-38)    # (B, K, V)
 
         ms = jnp.maximum(jnp.max(phi_same, -1, keepdims=True), NEG_INF / 2)
-        ws = jnp.exp(phi_same - ms)
+        ws = jnp.exp(phi_same - ms).astype(probs.dtype)
         p_last = jnp.take_along_axis(
             probs, last_tok[:, None, :].astype(jnp.int32), axis=2)  # (B,T,K)
         psi_same = (ms[..., 0] + jnp.log(jnp.einsum(
@@ -180,30 +231,31 @@ def score_candidates(ctc_lp: jnp.ndarray, r_prev: jnp.ndarray,
         return psi_full, None
 
     # per-candidate emission log-probs over time: xs (B, K, C, T)
-    if lp_vt is None:
-        lp_vt = jnp.moveaxis(ctc_lp, 1, 2)                  # (B, V, T)
     if cand_ids is None:
+        if lp_vt is None:
+            lp_vt = jnp.moveaxis(ctc_lp, 1, 2)              # (B, V, T)
         xs = jnp.broadcast_to(lp_vt[:, None], (B, K, V, T))
-    elif C <= 8:
-        # row-select via one-hot matmul (EXACT: one unit term per row, f32
-        # accumulate). The take_along_axis-on-broadcast form below profiled
-        # at ~650 us/step at V=1024 in the beam's winner-state recompute
-        # (C=1); this is one MXU matmul reading lp_vt once (~150 us).
-        # precision=HIGHEST: this branch also runs in NON-amp decode (the
-        # beam's C=1 winner-state recompute); DEFAULT precision would
-        # bf16-round the f32 lp_vt operand on TPU and silently change
-        # non-amp numerics. At C<=8 the cost is negligible.
-        oh = jax.nn.one_hot(cand.reshape(B, K * C), V, dtype=lp_vt.dtype)
-        xs = jnp.einsum("bnv,bvt->bnt", oh, lp_vt,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST
-                        ).reshape(B, K, C, T)
+    elif ctc_lp is not None:
+        # lane gather of the candidate COLUMNS of (B, T, V): exact (no
+        # matmul rounding) and the one gather pattern that is fast on TPU
+        # — this is the beam's C=1 winner-state recompute. Measured
+        # history at this spot (V=1024, B=128): broadcast take_along
+        # ~650 us/step -> one-hot matmul over (B,V,T) ~150 us/step (but
+        # scaling with V: reads the whole tensor) -> this V-independent
+        # lane gather ~25 us/step. Axis-1 ROW gathers of (B,V,T) measured
+        # catastrophically slow in-loop (bench_vocab round 3, 2-9x decode
+        # regression) — do not reintroduce them on the TPU path.
+        idx = cand.reshape(B, 1, K * C).astype(jnp.int32)
+        g = jnp.take_along_axis(ctc_lp, idx, axis=2)        # (B, T, K*C)
+        xs = jnp.moveaxis(g, 1, 2).reshape(B, K, C, T)
     else:
-        xs = jnp.take_along_axis(
-            jnp.broadcast_to(lp_vt[:, None], (B, K, V, T)),
-            cand[..., None], axis=2)
+        # row-gather fallback for lp_vt-only callers (exact; reads scale
+        # with K*C instead of V; fine outside hot TPU loops)
+        idx = cand.reshape(B, K * C, 1).astype(jnp.int32)
+        xs = jnp.take_along_axis(lp_vt, idx, axis=1).reshape(B, K, C, T)
     xs = jnp.maximum(xs, CLIP)
-    bl = jnp.maximum(ctc_lp[:, :, blank], CLIP)            # (B, T)
+    bl = (blank_lp if blank_lp is not None
+          else jnp.maximum(ctc_lp[:, :, blank], CLIP))     # (B, T)
 
     # phi shifted: position t holds phi(t-1); phi(-1) = 0 iff empty prefix
     phi_s = jnp.concatenate([phi_m1[..., None],

@@ -171,3 +171,29 @@ def test_beam_jits_and_candidate_pruning():
     out = fwd(params, _feat(seed=1), jnp.array([T_ENC]))
     assert out.tokens.shape[2] == 2
     assert np.isfinite(np.asarray(out.scores)).any()
+
+
+def test_candidate_mode_covering_all_tokens_matches_full_vocab():
+    """With ctc_candidates >= the number of expandable tokens (V minus
+    eos/pad, which the continuation mask always excludes), candidate mode
+    prunes nothing — tokens, lengths and scores must equal the full-vocab
+    path exactly. This pins the candidate-gather psi path (probs_vt row
+    gathers) against the full (B,K,V) einsum path through the whole beam
+    program, LM fusion included."""
+    model, params = _model()
+    lm = RNNLM(V, {"module": "LSTM", "dim": 8, "emb_dim": 8, "layer": 1})
+    lm_params = lm.init(jax.random.PRNGKey(3))
+    feat, flen = _feat(B=2, seed=5), jnp.array([T_ENC, 3])
+    base_cfg = {"beam_size": 3, "min_len_ratio": 0.0, "max_len_ratio": 0.75,
+                "ctc_weight": 0.4, "lm_weight": 0.3}
+    full = BeamDecoder(model, base_cfg, lm=lm).forward(
+        params, feat, flen, lm_params=lm_params)
+    cand = BeamDecoder(model, dict(base_cfg, ctc_candidates=V - 2),
+                       lm=lm).forward(params, feat, flen,
+                                      lm_params=lm_params)
+    np.testing.assert_array_equal(np.asarray(full.tokens),
+                                  np.asarray(cand.tokens))
+    np.testing.assert_array_equal(np.asarray(full.lengths),
+                                  np.asarray(cand.lengths))
+    np.testing.assert_allclose(np.asarray(full.scores),
+                               np.asarray(cand.scores), rtol=1e-5)

@@ -124,6 +124,73 @@ def test_batched_beam_shapes():
     assert np.all(np.asarray(psi)[:, :, 0] < -1e29)  # blank ext invalid
 
 
+def test_candidate_gather_psi_matches_full_vocab():
+    """The candidate-restricted row-gather path (probs_vt + cand_ids) must
+    reproduce the full-vocab psi at the candidate positions — including
+    same-token extensions and blank masking."""
+    rng = np.random.RandomState(11)
+    B, K, T, V, C = 2, 3, 9, 12, 4
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V)), -1)
+    lp = pad_ctc_log_probs(lp, jnp.array([9, 6]))
+    r, _ = init_state(lp, K)
+    last = jnp.asarray(rng.randint(1, V, (B, K)), jnp.int32)
+    psi0, r_all = score_candidates(lp, r, jnp.zeros((B, K), jnp.int32),
+                                   jnp.zeros((B, K), jnp.int32))
+    r1 = jnp.take_along_axis(
+        r_all, last[:, :, None, None, None], axis=2)[:, :, 0]
+    plen = jnp.ones((B, K), jnp.int32)
+
+    psi_full, _ = score_candidates(lp, r1, last, plen, with_state=False)
+    # candidates: include blank (0), each hyp's own last token, and others
+    cand = jnp.stack([jnp.zeros((B, K), jnp.int32), last,
+                      (last + 1) % V, (last + 2) % V], axis=-1)  # (B,K,C)
+    probs_vt = jnp.exp(jnp.moveaxis(lp, 1, 2))
+    psi_cand, none = score_candidates(
+        None, r1, last, plen, cand_ids=cand, with_state=False,
+        probs_vt=probs_vt)
+    assert none is None and psi_cand.shape == (B, K, C)
+    want = np.take_along_axis(np.asarray(psi_full), np.asarray(cand), axis=2)
+    np.testing.assert_allclose(np.asarray(psi_cand), want,
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(np.asarray(psi_cand)[:, :, 0] < -1e29)  # blank masked
+
+
+def test_row_gather_state_path_matches_onehot_and_companions():
+    """with_state candidate scoring must be identical whether xs comes from
+    the one-hot matmul (small V), the flat row-gather (large V / C>8), or
+    via the precomputed lp_vt/blank_lp companions with ctc_lp=None."""
+    rng = np.random.RandomState(13)
+    B, K, T, V = 2, 2, 7, 9
+    lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V)), -1)
+    lp = pad_ctc_log_probs(lp, jnp.array([7, 5]))
+    r, _ = init_state(lp, K)
+    last = jnp.asarray(rng.randint(1, V, (B, K)), jnp.int32)
+    plen = jnp.ones((B, K), jnp.int32)
+    cand = jnp.asarray(rng.randint(1, V, (B, K, 9)), jnp.int32)  # C=9 > 8
+
+    # C=9 goes through the row-gather; reference = full-vocab then gather
+    psi_all, r_all = score_candidates(lp, r, last, plen)
+    psi_g, r_g = score_candidates(lp, r, last, plen, cand_ids=cand)
+    np.testing.assert_allclose(
+        np.asarray(psi_g),
+        np.take_along_axis(np.asarray(psi_all), np.asarray(cand), axis=2),
+        rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(r_g),
+        np.take_along_axis(np.asarray(r_all),
+                           np.asarray(cand)[..., None, None], axis=2),
+        rtol=1e-5, atol=1e-6)
+
+    # companions + ctc_lp=None must be bit-compatible with the direct call
+    from end_to_end_asr_pytorch_tpu.ops.ctc_prefix import CLIP
+    lp_vt = jnp.moveaxis(lp, 1, 2)
+    blank_lp = jnp.maximum(lp[:, :, 0], CLIP)
+    psi_c, r_c = score_candidates(None, r, last, plen, cand_ids=cand,
+                                  lp_vt=lp_vt, blank_lp=blank_lp)
+    np.testing.assert_array_equal(np.asarray(psi_g), np.asarray(psi_c))
+    np.testing.assert_array_equal(np.asarray(r_g), np.asarray(r_c))
+
+
 def test_psi_only_matmul_path_matches_state_path():
     rng = np.random.RandomState(7)
     B, K, T, V = 2, 3, 9, 5
