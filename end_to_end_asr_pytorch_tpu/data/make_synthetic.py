@@ -16,10 +16,14 @@ def main():
     ap.add_argument("--n_test", type=int, default=64)
     ap.add_argument("--min_words", type=int, default=1)
     ap.add_argument("--max_words", type=int, default=3)
+    ap.add_argument("--word_inventory", type=int, default=0,
+                    help="generate this many pseudo-words instead of the "
+                         "14 NATO words (subword-vocab corpora)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     root = generate_corpus(args.out, args.n_train, args.n_dev, args.n_test,
-                           args.seed, args.min_words, args.max_words)
+                           args.seed, args.min_words, args.max_words,
+                           word_inventory=args.word_inventory)
     print(f"synthetic corpus at {root} "
           f"({args.n_train}/{args.n_dev}/{args.n_test} utts)")
 

@@ -23,6 +23,26 @@ WORDS = [
     "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
 ]
 
+# syllable pieces for the generated large word inventory (subword-scale
+# corpora: enough distinct words that a ~1k BPE/sentencepiece vocab is
+# meaningful, SURVEY.md section 6 realistic-vocab evidence)
+SYLLABLES = [c + v for c in "bcdfghjklmnprstvwz" for v in "aeiou"]
+
+
+def make_word_inventory(n: int, seed: int = 1234) -> list:
+    """Deterministic list of ``n`` distinct 2-3 syllable pseudo-words.
+    Fixed seed (independent of the corpus seed) so train/dev/test share
+    one inventory."""
+    rng = np.random.RandomState(seed)
+    seen, out = set(), []
+    while len(out) < n:
+        w = "".join(SYLLABLES[rng.randint(len(SYLLABLES))]
+                    for _ in range(rng.randint(2, 4)))
+        if w not in seen:
+            seen.add(w)
+            out.append(w)
+    return out
+
 
 def _char_freq(c: str) -> float:
     if c == " ":
@@ -50,10 +70,15 @@ def render(text: str, rng: np.random.RandomState) -> np.ndarray:
 
 def generate_corpus(root: str, n_train: int = 64, n_dev: int = 16,
                     n_test: int = 16, seed: int = 0,
-                    min_words: int = 1, max_words: int = 3) -> Path:
+                    min_words: int = 1, max_words: int = 3,
+                    word_inventory: int = 0) -> Path:
     """Writes <root>/{train,dev,test}-clean/<spk>/<chap>/*.wav + trans.txt.
-    Returns the root path. Deterministic for a given seed."""
+    Returns the root path. Deterministic for a given seed.
+    ``word_inventory > 0`` swaps the 14 NATO words for that many generated
+    pseudo-words (subword-vocab-scale corpora)."""
     rng = np.random.RandomState(seed)
+    words = (make_word_inventory(word_inventory) if word_inventory > 0
+             else WORDS)
     root_p = Path(root)
     for split, n_utt in (("train-clean", n_train), ("dev-clean", n_dev),
                          ("test-clean", n_test)):
@@ -62,7 +87,8 @@ def generate_corpus(root: str, n_train: int = 64, n_dev: int = 16,
         lines = []
         for i in range(n_utt):
             n_words = rng.randint(min_words, max_words + 1)
-            text = " ".join(WORDS[rng.randint(len(WORDS))] for _ in range(n_words))
+            text = " ".join(words[rng.randint(len(words))]
+                            for _ in range(n_words))
             utt_id = f"1-1-{i:04d}"
             write_wav(str(chap_dir / f"{utt_id}.wav"), render(text, rng), SR)
             lines.append(f"{utt_id} {text.upper()}")

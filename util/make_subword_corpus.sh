@@ -1,0 +1,16 @@
+#!/bin/sh
+# Generate the subword-scale synthetic corpus + V=1024 sentencepiece vocab
+# used by config/synthetic/{las,lm}_subword.yaml (BASELINE.md
+# "subword-scale learnability"). Run from the repo root.
+set -e
+OUT=${1:-data/synth_sub}
+python -m end_to_end_asr_pytorch_tpu.data.make_synthetic \
+    --out "$OUT" --n_train 768 --n_dev 64 --n_test 64 \
+    --min_words 2 --max_words 5 --word_inventory 800
+# transcripts -> training text
+find "$OUT/train-clean" -name '*.trans.txt' -exec cat {} + \
+    | cut -d' ' -f2- | tr 'A-Z' 'a-z' > "$OUT/train_text.txt"
+python util/generate_vocab_file.py --input_file "$OUT/train_text.txt" \
+    --mode subword --vocab_size 1024 --format spm \
+    --output_file "$OUT/bpe1024.model"
+echo "subword corpus ready at $OUT"
