@@ -95,7 +95,13 @@ class BeamDecoder:
         cw = decode_cfg.get("ctc_weight", 0.0)
         self.ctc_weight = float(cw) if model.enable_ctc else 0.0
         self.lm = lm if self.lm_weight > 0 else None
-        self.ctc_candidates = int(decode_cfg.get("ctc_candidates", 128))
+        # ctc_candidates > 0 restricts CTC-scored continuations to the top-C
+        # by att+LM score (the reference's cheap_compute). Default OFF: psi
+        # comes from one full-vocab MXU matmul either way, so on TPU the
+        # restriction only ADDS a per-step top_k whose cost grows with C
+        # (measured: V=1024 full 2022 utts/s vs C=32 639 / C=128 312,
+        # bench_vocab round 3) — it is a search-space knob, not a speedup.
+        self.ctc_candidates = int(decode_cfg.get("ctc_candidates", 0))
         self.use_ctc = self.ctc_weight > 0
         # decode-time amp: bf16 attention keys/values + energy chain (halves
         # the per-step HBM traffic; top-1 sequences measured identical to
@@ -146,9 +152,10 @@ class BeamDecoder:
         max_len = jnp.maximum(
             jnp.ceil(self.max_len_ratio * enc_len).astype(jnp.int32), 1)
 
-        # candidate-set size for CTC scoring (C < V = 'cheap_compute' mode)
-        C = V if (not self.use_ctc or V <= self.ctc_candidates) \
-            else self.ctc_candidates
+        # candidate-set size for CTC scoring (C < V = 'cheap_compute' mode;
+        # ctc_candidates == 0 disables the restriction)
+        C = V if (not self.use_ctc or self.ctc_candidates <= 0
+                  or V <= self.ctc_candidates) else self.ctc_candidates
 
         if self.use_ctc:
             ctc_lp = ctc_prefix.pad_ctc_log_probs(
