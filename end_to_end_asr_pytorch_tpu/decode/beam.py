@@ -13,10 +13,12 @@ hypothesis state is (B, K, ...) tensors, the decoder/LM states are folded to
 (B*K, ...) while attention reads UNEXPANDED (B,...) keys (step_beam), CTC
 selection scores come from ops/ctc_prefix's probability-domain matmul with
 the winners' states recomputed afterwards (two-phase), and top-k pruning is
-``lax.top_k`` over the (K * candidates) axis. For large vocabs, CTC scoring
-is restricted to the ``ctc_candidates`` best extensions by attention+LM
-score (the reference's 'cheap_compute' idea, vectorized). Measured ~12,700x
-the reference-style CPU decoder on one v5e chip (BASELINE.md).
+``lax.top_k`` over the (K * candidates) axis. ``ctc_candidates`` optionally
+restricts CTC-scored continuations to the best extensions by attention+LM
+score (the reference's 'cheap_compute' idea, vectorized) — a search-space
+knob, off by default: on TPU full-vocab scoring measures faster at every
+vocab size (BASELINE.md V-scaling table). Measured ~12,700x the
+reference-style CPU decoder on one v5e chip (BASELINE.md).
 """
 from __future__ import annotations
 

@@ -122,9 +122,13 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
 
     When BOTH ``cand_ids`` and ``probs_vt`` are given in psi-only mode, the
     scorer row-gathers the C candidate emission rows from ``probs_vt``
-    (B, V, T) instead of computing the full-vocab (B,K,V) einsum: per-step
-    HBM reads drop from O(B*T*V) to O(B*K*C*T) — the fix that keeps beam
-    decode fast at subword vocab sizes (C ``<<`` V).
+    (B, V, T) instead of computing the full-vocab (B,K,V) einsum, so HBM
+    reads scale with C rather than V. MEASURED NEGATIVE on TPU inside the
+    decode scan (bench_vocab round 3): axis-1 row gathers serialize
+    (V=1024/C=32: 621 utts/s vs 2022 for the full matmul; V=16k: 67 vs
+    255) — the beam always uses the full-vocab matmul. The path is kept,
+    exact and tested, for callers outside hot TPU loops (CPU scoring,
+    offline rescoring) where the C<<V compute saving is real.
 
     Returns (psi (B, K, C) full prefix log-prob of each extension,
              r_new (B, K, C, T, 2) state of each extension); C = V if
