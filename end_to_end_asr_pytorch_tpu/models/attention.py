@@ -76,6 +76,10 @@ class Attention:
         # shapes (420 vs 465 utts/sec) — per-grid-cell overhead dominates the
         # saved HBM traffic. Kept for larger-T/K regimes via cfg use_pallas.
         self.use_pallas = bool(cfg.get("use_pallas", False))
+        # Fused TRAIN attention step with a hand VJP (loc, single-head,
+        # v_proj): keeps the (B,T,d) tanh chain in VMEM in forward,
+        # rematerialized forward AND backward (ops/pallas/att_train_kernel)
+        self.use_pallas_train = bool(cfg.get("use_pallas_train", False))
 
     def init(self, key) -> AttentionParams:
         ks = jax.random.split(key, 8)
@@ -185,6 +189,27 @@ class Attention:
                         preferred_element_type=jnp.float32)
             qb = q + jnp.pad(p.bias.reshape(H, self.dim),
                              ((0, 0), (0, pad)))[None]
+            use_fused = (self.use_pallas_train and H == 1
+                         and p.w_v is not None and p.w_merge is None
+                         and B % 8 == 0)
+            if use_fused:
+                import jax as _jax
+                use_fused = _jax.default_backend() not in ("cpu",)
+            if use_fused:
+                # fused energy+softmax+context step with hand VJP: the
+                # (B,T,d) tanh chain never touches HBM (fwd, remat, bwd)
+                from ..ops.pallas.att_train_kernel import loc_att_train
+                enc_len = jnp.maximum(
+                    jnp.sum(cache.mask.astype(jnp.int32), axis=1), 1)
+                ctx, align = loc_att_train(
+                    qb[:, 0].astype(cd), cache.keys[:, 0],
+                    f.astype(cd), p.v_energy[0].astype(cd)
+                    if pad == 0 else jnp.pad(p.v_energy,
+                                             ((0, 0), (0, pad)))[0]
+                    .astype(cd),
+                    cache.values.astype(cd), enc_len,
+                    self.temperature)
+                return ctx, align[:, None, :]
             tanh_arg = (qb.astype(cd)[:, :, None, :] + cache.keys
                         + f.astype(cd)[:, None, :, :])
             v_pad = jnp.pad(p.v_energy, ((0, 0), (0, pad)))

@@ -4,8 +4,10 @@
 # "subword-scale learnability"). Run from the repo root.
 set -e
 OUT=${1:-data/synth_sub}
+# 4096 train utts x ~3.5 words ~= 18 instances per inventory word — the
+# 768-utt first attempt (3.4/word) was data-starved (dev WER stuck at 1.0)
 python -m end_to_end_asr_pytorch_tpu.data.make_synthetic \
-    --out "$OUT" --n_train 768 --n_dev 64 --n_test 64 \
+    --out "$OUT" --n_train 4096 --n_dev 64 --n_test 64 \
     --min_words 2 --max_words 5 --word_inventory 800
 # transcripts -> training text
 find "$OUT/train-clean" -name '*.trans.txt' -exec cat {} + \
