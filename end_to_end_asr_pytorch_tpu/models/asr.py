@@ -55,6 +55,10 @@ class ASR:
         self.enable_att = self.ctc_weight < 1.0
         self.encoder = Encoder(input_size, cfg["encoder"])
         self.emb_drop = float(cfg.get("emb_drop", 0.0))
+        # save-nothing remat on the label scan: measured 90 -> 71 ms/step
+        # for the plain XLA step (see forward); exposed as a knob because
+        # the fused-attention hand-VJP path changes the residual economics
+        self.label_scan_remat = bool(cfg.get("label_scan_remat", True))
         if self.enable_att:
             dec_cfg = cfg["decoder"]
             self.dec_dim = int(dec_cfg["dim"])
@@ -261,8 +265,10 @@ class ASR:
             # it in the backward scan is cheaper than the residual traffic —
             # measured 90 -> 71 ms/step bf16 B=128/U=96 (policy
             # dots_with_no_batch_dims_saveable was worse: 83 ms).
+            step_fn = (jax.checkpoint(scan_step) if self.label_scan_remat
+                       else scan_step)
             (state, align, _), (att_out, att_align, dec_outs) = jax.lax.scan(
-                jax.checkpoint(scan_step), (state, align, sos[:, 0]),
+                step_fn, (state, align, sos[:, 0]),
                 (tf_toks, coins, step_rngs), unroll=4)
             att_out = jnp.swapaxes(att_out, 0, 1)        # (B, U, V)
             att_align = jnp.swapaxes(att_align, 0, 1)    # (B, U, H, T')

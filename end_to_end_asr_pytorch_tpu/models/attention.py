@@ -190,8 +190,7 @@ class Attention:
             qb = q + jnp.pad(p.bias.reshape(H, self.dim),
                              ((0, 0), (0, pad)))[None]
             use_fused = (self.use_pallas_train and H == 1
-                         and p.w_v is not None and p.w_merge is None
-                         and B % 8 == 0)
+                         and p.w_v is not None and p.w_merge is None)
             if use_fused:
                 import jax as _jax
                 use_fused = _jax.default_backend() not in ("cpu",)

@@ -201,3 +201,32 @@ def test_lm_forward_and_step_agree():
     step_wise = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(full), np.asarray(step_wise),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_label_scan_remat_knob_is_semantics_preserving():
+    """label_scan_remat=False (exposed for the fused-attention A/B) must
+    change scheduling only: identical loss and gradients."""
+    feat = jnp.asarray(np.random.RandomState(4).randn(2, 16, 40), jnp.float32)
+    teacher = jnp.ones((2, 5), jnp.int32) * 3
+
+    outs = []
+    for remat in (True, False):
+        cfg = _asr_cfg()
+        cfg["label_scan_remat"] = remat
+        model = ASR(40, V, cfg)
+        p = model.init(jax.random.PRNGKey(0))
+
+        def loss_fn(params):
+            ctc_out, _, att_out, _, _ = model.forward(
+                params, feat, jnp.array([16, 16]), 5, teacher=teacher,
+                train=True, rng=jax.random.PRNGKey(1))
+            return jnp.mean(att_out ** 2) + jnp.mean(ctc_out ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        outs.append((float(loss), g))
+    (l0, g0), (l1, g1) = outs
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -18,7 +18,7 @@ B, U = 128, 96
 AMP = True
 
 
-def run(use_kernel: bool):
+def run(use_kernel: bool, remat: bool = True):
     import jax, jax.numpy as jnp
     import optax
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
@@ -30,6 +30,7 @@ def run(use_kernel: bool):
 
     cfg = dict(MODEL_CFG)
     cfg["attention"] = dict(cfg["attention"], use_pallas_train=use_kernel)
+    cfg["label_scan_remat"] = remat
     frontend, feat_dim = create_transform(AUDIO_CFG)
     model = ASR(feat_dim, VOCAB, cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -77,7 +78,7 @@ def run(use_kernel: bool):
         ps, os_, loss = fn(ps, os_, w, wl, tx, tl, jax.random.PRNGKey(3 + i))
     _j.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(f"use_kernel={use_kernel}: {dt*1e3:.1f} ms/step "
+    print(f"use_kernel={use_kernel} remat={remat}: {dt*1e3:.1f} ms/step "
           f"({B/dt:.0f} utts/s) loss={float(loss):.4f} "
           f"compile={compile_s:.0f}s", flush=True)
     return dt
@@ -89,3 +90,7 @@ if __name__ == "__main__":
         run(False)
     if which in ("on", "both"):
         run(True)
+    if which == "on_noremat":
+        run(True, remat=False)
+    if which == "off_noremat":
+        run(False, remat=False)
