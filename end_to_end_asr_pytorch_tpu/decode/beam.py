@@ -160,9 +160,6 @@ class BeamDecoder:
                   or V <= self.ctc_candidates) else self.ctc_candidates
 
         if self.use_ctc:
-            ctc_lp = ctc_prefix.pad_ctc_log_probs(
-                model.ctc_output(p, enc), enc_len)
-            r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
             # loop-invariant companions of ctc_lp, computed ONCE here (XLA
             # does not hoist them out of the while body):
             #   - ctc_probs = exp(ctc_lp), the phase-1 psi matmul operand.
@@ -173,10 +170,25 @@ class BeamDecoder:
             #   - blank_lp, so the scan never touches the (B,T,V) f32
             #     ctc_lp except through tiny exact lane gathers (phase-2
             #     winner xs, psi_same's p_last).
-            blank_lp = jnp.maximum(ctc_lp[:, :, 0], ctc_prefix.CLIP)
-            ctc_probs = jnp.exp(ctc_lp)
             if self.amp:
-                ctc_probs = ctc_probs.astype(jnp.bfloat16)
+                # restructured prep (amp only; exact paths keep the original
+                # op sequence): normalize with ONE precomputed logsumexp
+                # subtraction and exponentiate in bf16. At V=5120 the
+                # log_softmax -> pad -> f32 exp -> bf16 cast chain hits a
+                # pathological XLA fusion (21.4 ms vs 5.4 ms for this form,
+                # util/bench_ctc_prep.py); probs are only consumed by the
+                # f32-accumulating psi einsum, so bf16 exp is the same
+                # rounding class as the bf16 cast it replaces.
+                logits = model.ctc_logits(p, enc)             # (B,T,V) f32
+                lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+                ctc_lp = ctc_prefix.pad_ctc_log_probs(logits - lse, enc_len)
+                ctc_probs = jnp.exp(ctc_lp.astype(jnp.bfloat16))
+            else:
+                ctc_lp = ctc_prefix.pad_ctc_log_probs(
+                    model.ctc_output(p, enc), enc_len)
+                ctc_probs = jnp.exp(ctc_lp)
+            r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
+            blank_lp = jnp.maximum(ctc_lp[:, :, 0], ctc_prefix.CLIP)
         else:
             ctc_lp = r_state = None
             ctc_probs = blank_lp = None

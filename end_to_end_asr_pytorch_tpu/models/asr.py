@@ -93,11 +93,16 @@ class ASR:
     def encode(self, p: ASRParams, feat, feat_len, *, train=False, rng=None):
         return self.encoder(p.encoder, feat, feat_len, train=train, rng=rng)
 
+    def ctc_logits(self, p: ASRParams, enc: jnp.ndarray) -> jnp.ndarray:
+        """Raw (f32) CTC head logits; the beam decoder normalizes these
+        itself so the whole (B,T,V) prep fuses into fewer passes."""
+        return jnp.dot(enc, p.ctc_w,
+                       preferred_element_type=jnp.float32) + p.ctc_b
+
     def ctc_output(self, p: ASRParams, enc: jnp.ndarray) -> jnp.ndarray:
-        logits = jnp.dot(enc, p.ctc_w,
-                         preferred_element_type=jnp.float32) + p.ctc_b
         # CTC lattice numerics stay float32 even under bf16 (--amp) compute
-        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return jax.nn.log_softmax(
+            self.ctc_logits(p, enc).astype(jnp.float32), axis=-1)
 
     # ---------------------------------------------------------- att decode
     def init_decode(self, p: ASRParams, enc, enc_len
