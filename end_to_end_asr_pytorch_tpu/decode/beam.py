@@ -114,6 +114,16 @@ class BeamDecoder:
             import jax as _jax
             amp = _jax.default_backend() not in ("cpu",)
         self.amp = bool(amp)
+        # Pallas phase-1 psi kernel (ops/pallas/psi_kernel): MEASURED
+        # NEGATIVE in-loop (V=5120 full decode 787 -> 567 utts/s despite
+        # fusing the log/last/blank epilogues: inside the scan XLA overlaps
+        # the psi einsum with neighboring ops while the pallas_call
+        # serializes — same economics as beam_step_kernel.py). Default OFF;
+        # True / 'interpret' opt in (interpret = CPU emulation, tests).
+        pk = decode_cfg.get("psi_kernel", False)
+        if pk == "auto":
+            pk = False
+        self.psi_pallas = pk
 
     # ------------------------------------------------------------------ run
     def forward(self, p: ASRParams, feat: jnp.ndarray, feat_len: jnp.ndarray,
@@ -189,9 +199,14 @@ class BeamDecoder:
                 ctc_probs = jnp.exp(ctc_lp)
             r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
             blank_lp = jnp.maximum(ctc_lp[:, :, 0], ctc_prefix.CLIP)
+            # Pallas psi only where it applies: amp probs, blockable vocab
+            from ..ops.pallas.psi_kernel import pick_block
+            psi_pallas = (self.psi_pallas if pick_block(
+                V, T, ctc_probs.dtype.itemsize) is not None else False)
         else:
             ctc_lp = r_state = None
             ctc_probs = blank_lp = None
+            psi_pallas = False
             psi_prev = jnp.zeros((B, K))
 
         use_lm = self.lm is not None
@@ -302,7 +317,7 @@ class BeamDecoder:
                 psi_full, _ = ctc_prefix.score_candidates(
                     ctc_lp, carry["r"], carry["last"],
                     jnp.full((B, K), t, jnp.int32), with_state=False,
-                    probs=ctc_probs)
+                    probs=ctc_probs, psi_pallas=psi_pallas)
                 if C < V:
                     _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
                     psi = jnp.take_along_axis(psi_full, cand, axis=2)

@@ -89,7 +89,8 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
                      probs: jnp.ndarray | None = None,
                      lp_vt: jnp.ndarray | None = None,
                      probs_vt: jnp.ndarray | None = None,
-                     blank_lp: jnp.ndarray | None = None
+                     blank_lp: jnp.ndarray | None = None,
+                     psi_pallas: bool | str = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
@@ -209,14 +210,7 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
         if probs is None:
             probs = jnp.exp(ctc_lp)                         # (B, T, V)
         md = jnp.maximum(jnp.max(phi_diff, -1, keepdims=True), NEG_INF / 2)
-        # match the small operand's dtype to probs: a mixed f32 x bf16
-        # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
-        # materialized copy EVERY step) instead of running the native bf16
-        # MXU path; wd/ws casts keep psi's f32 accumulation
-        wd = jnp.exp(phi_diff - md).astype(probs.dtype)
-        psi_diff = md + jnp.log(jnp.einsum(
-            "bkt,btv->bkv", wd, probs,
-            preferred_element_type=jnp.float32) + 1e-38)    # (B, K, V)
+        wd = jnp.exp(phi_diff - md)                         # (B, K, T) f32
 
         ms = jnp.maximum(jnp.max(phi_same, -1, keepdims=True), NEG_INF / 2)
         ws = jnp.exp(phi_same - ms).astype(probs.dtype)
@@ -225,6 +219,25 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
         psi_same = (ms[..., 0] + jnp.log(jnp.einsum(
             "bkt,btk->bk", ws, p_last,
             preferred_element_type=jnp.float32) + 1e-38))   # (B, K)
+
+        if psi_pallas and cand_ids is None:
+            # Pallas psi: streams each (T, BV) probs block once and merges
+            # the log / last-token / blank epilogues in VMEM (amp path
+            # only; see ops/pallas/psi_kernel.py). Same bf16-multiply +
+            # f32-accumulate numerics as the einsum below, different
+            # accumulation order (near-tie class).
+            from .pallas.psi_kernel import psi_fused
+            return psi_fused(
+                wd, probs, md[..., 0], psi_same, last_tok, blank=blank,
+                interpret=(psi_pallas == "interpret")), None
+
+        # match the small operand's dtype to probs: a mixed f32 x bf16
+        # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
+        # materialized copy EVERY step) instead of running the native bf16
+        # MXU path; wd/ws casts keep psi's f32 accumulation
+        psi_diff = md + jnp.log(jnp.einsum(
+            "bkt,btv->bkv", wd.astype(probs.dtype), probs,
+            preferred_element_type=jnp.float32) + 1e-38)    # (B, K, V)
 
         vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2)
         psi_full = jnp.where(vocab_ids == last_tok[..., None],

@@ -273,3 +273,28 @@ def test_one_hot_reorder_bit_exact():
                       preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     assert np.array_equal(np.asarray(refb, np.float32),
                           np.asarray(gotb, np.float32))
+
+
+def test_psi_fused_compiled():
+    """Compiled Mosaic psi kernel vs the XLA einsum path at a realistic
+    beam shape (kernel is default-off — a measured in-scan negative
+    result, see psi_kernel.py — but must stay Mosaic-compilable)."""
+    from end_to_end_asr_pytorch_tpu.ops import ctc_prefix
+    Bb, K, Tt, V = 16, 8, 112, 1024
+    rng = np.random.RandomState(0)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(Bb, Tt, V) * 2.0, jnp.float32), -1)
+    lp = ctc_prefix.pad_ctc_log_probs(lp, jnp.full((Bb,), Tt - 9, jnp.int32))
+    r, _ = ctc_prefix.init_state(lp, K)
+    last = jnp.asarray(rng.randint(1, V, (Bb, K)), jnp.int32)
+    plen = jnp.ones((Bb, K), jnp.int32)
+    probs = jnp.exp(lp).astype(jnp.bfloat16)
+    ref, _ = jax.jit(lambda: ctc_prefix.score_candidates(
+        None, r, last, plen, with_state=False, probs=probs))()
+    got, _ = jax.jit(lambda: ctc_prefix.score_candidates(
+        None, r, last, plen, with_state=False, probs=probs,
+        psi_pallas=True))()
+    refn, gotn = np.asarray(ref), np.asarray(got)
+    mask = refn > ctc_prefix.NEG_INF / 2
+    np.testing.assert_allclose(gotn[mask], refn[mask], rtol=2e-5, atol=2e-5)
+    assert np.all(gotn[:, :, 0] == ctc_prefix.NEG_INF)
