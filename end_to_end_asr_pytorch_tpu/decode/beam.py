@@ -338,6 +338,10 @@ class BeamDecoder:
                                     n_tok < max_len[:, None])   # (B, K)
             tot = jnp.where(alive[..., None], tot, NEG_INF)
 
+            # NOTE a two-stage exact top-k (per-row top-K over (B,K,V) then
+            # top-K over the K*K survivors) measured 4x SLOWER end-to-end
+            # at V=5120 (163 -> 644 ms/batch, round 3): lax.top_k over the
+            # rank-3 row layout lowers far worse than one flat (K*V) scan.
             flat = tot.reshape(B, K * nC)
             top_tot, top_idx = jax.lax.top_k(flat, K)           # (B, K)
             new_valid = top_tot > NEG_INF / 2
