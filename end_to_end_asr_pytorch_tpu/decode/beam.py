@@ -251,13 +251,25 @@ class BeamDecoder:
         vocab_ids = jnp.arange(V)
         cont_keep = (vocab_ids != EOS_IDX) & (vocab_ids != PAD_IDX)  # (V,)
 
+        # amp fast path: never materialize logp_att/logp_lm. The (B,K,V)
+        # log_softmax outputs cost two full write+read round trips per step;
+        # folding each normalizer into a per-hypothesis scalar shift
+        # (tot = base - [aw*lse_att + lw*lse_lm] + aw*logits_att
+        #  + lw*logits_lm + cw*psi) is the same score up to f32 association,
+        # so non-amp keeps the original exact op sequence.
+        fold_lse = self.amp and self.plugin is None
+
         def step(carry, t):
             logits, new_dec, new_align, _ = model.decode_step_beam(
                 p, cache, carry["dec_state"], carry["align"],
                 carry["last"].reshape(B * K), K, tables=tables)
+            shift = None
             if self.plugin is not None:
                 logp_att = self.plugin.fused_log_prob(
                     plugin_params, new_dec.h[-1], logits).reshape(B, K, V)
+            elif fold_lse:
+                logp_att = logits.reshape(B, K, V)     # UNNORMALIZED
+                shift = aw * jax.nn.logsumexp(logp_att, axis=-1)   # (B, K)
             else:
                 logp_att = jax.nn.log_softmax(logits, -1).reshape(B, K, V)
 
@@ -265,7 +277,11 @@ class BeamDecoder:
                 lm_logits, new_lm = self.lm.step(
                     lm_params, carry["lm_state"], carry["last"].reshape(B * K),
                     emb_proj=lm_embp)
-                logp_lm = jax.nn.log_softmax(lm_logits, -1).reshape(B, K, V)
+                logp_lm = lm_logits.reshape(B, K, V)
+                if fold_lse:
+                    shift = shift + lw * jax.nn.logsumexp(logp_lm, axis=-1)
+                else:
+                    logp_lm = jax.nn.log_softmax(logp_lm, -1)
             else:
                 new_lm = None
                 logp_lm = jnp.zeros((B, K, V))
@@ -279,6 +295,8 @@ class BeamDecoder:
                 ctc_eos = jnp.zeros((B, K))
             tot_eos = (base + aw * logp_att[:, :, EOS_IDX]
                        + cw * ctc_eos + lw * logp_lm[:, :, EOS_IDX])
+            if shift is not None:
+                tot_eos = tot_eos - shift
             n_tok = t  # tokens emitted so far
             eos_ok = jnp.logical_and(
                 carry["valid"],
@@ -299,6 +317,8 @@ class BeamDecoder:
 
             # ---------------- continuation scores
             step_score = aw * logp_att + lw * logp_lm          # (B, K, V)
+            if shift is not None:
+                step_score = step_score - shift[..., None]
             # fused select beats two dynamic-update-slices (1.3 ms/batch)
             masked = jnp.where(cont_keep[None, None, :], step_score, NEG_INF)
 
