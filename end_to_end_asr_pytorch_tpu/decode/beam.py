@@ -124,6 +124,9 @@ class BeamDecoder:
         if pk == "auto":
             pk = False
         self.psi_pallas = pk
+        # log-softmax normalizer folding: 'auto' = amp and V >= 1024 (see
+        # the fold_lse comment in forward); True / False force it
+        self.fold_logp = decode_cfg.get("fold_logp", "auto")
 
     # ------------------------------------------------------------------ run
     def forward(self, p: ASRParams, feat: jnp.ndarray, feat_len: jnp.ndarray,
@@ -256,8 +259,13 @@ class BeamDecoder:
         # folding each normalizer into a per-hypothesis scalar shift
         # (tot = base - [aw*lse_att + lw*lse_lm] + aw*logits_att
         #  + lw*logits_lm + cw*psi) is the same score up to f32 association,
-        # so non-amp keeps the original exact op sequence.
-        fold_lse = self.amp and self.plugin is None
+        # so non-amp keeps the original exact op sequence. Only a win when
+        # the (B,K,V) round trips dominate: measured V=16384 255 -> 273,
+        # V=5120 787 -> 803 utts/s, but V=31 2603 -> 2530 (the extra
+        # scalar lse pass isn't free at tiny V) — hence the vocab gate.
+        fold_lse = (self.amp and self.plugin is None
+                    and (V >= 1024 if self.fold_logp == "auto"
+                         else bool(self.fold_logp)))
 
         def step(carry, t):
             logits, new_dec, new_align, _ = model.decode_step_beam(

@@ -114,3 +114,29 @@ def test_full_amp_decode_runs_and_tracks_f32():
     assert same >= B - 1, f"only {same}/{B} top-1 sequences match f32"
     np.testing.assert_allclose(out[True].scores[:, 0], out[False].scores[:, 0],
                                rtol=0.05, atol=0.05)
+
+
+def test_fold_logp_matches_plain_amp():
+    """Normalizer folding (auto only at V>=1024) forced ON at tiny V must
+    track the materialized-log_softmax amp decode: same scores up to f32
+    association."""
+    model, params = _model()
+    lm = RNNLM(V, {"module": "LSTM", "dim": 16, "emb_dim": 16, "layer": 1})
+    lmp = lm.init(jax.random.PRNGKey(9))
+    rng = np.random.RandomState(6)
+    feat = jnp.asarray(rng.randn(B, T_ENC, 6), jnp.float32)
+    feat_len = jnp.asarray([T_ENC, T_ENC, 6, 5], jnp.int32)
+    cfg = {"beam_size": K, "min_len_ratio": 0.0, "max_len_ratio": 1.0,
+           "ctc_weight": 0.3, "lm_weight": 0.2, "amp": True}
+    out = {}
+    for fold in (False, True):
+        dec = BeamDecoder(model, dict(cfg, fold_logp=fold), lm=lm)
+        out[fold] = jax.device_get(
+            dec.forward(params, feat, feat_len, lm_params=lmp))
+    a, b = out[False], out[True]
+    same = sum(
+        a.tokens[i, 0, :a.lengths[i, 0]].tolist()
+        == b.tokens[i, 0, :b.lengths[i, 0]].tolist() for i in range(B))
+    assert same >= B - 1, f"only {same}/{B} top-1 sequences match"
+    np.testing.assert_allclose(b.scores[:, 0], a.scores[:, 0],
+                               rtol=1e-4, atol=1e-4)
