@@ -133,6 +133,19 @@ def test_fold_logp_matches_plain_amp():
         dec = BeamDecoder(model, dict(cfg, fold_logp=fold), lm=lm)
         out[fold] = jax.device_get(
             dec.forward(params, feat, feat_len, lm_params=lmp))
+        # candidate-restricted CTC scoring must rank identically under the
+        # fold (the per-row shift is constant, so top-C sets are unchanged)
+        dec_c = BeamDecoder(model, dict(cfg, fold_logp=fold,
+                                        ctc_candidates=4), lm=lm)
+        out[("cand", fold)] = jax.device_get(
+            dec_c.forward(params, feat, feat_len, lm_params=lmp))
+    ca, cb = out[("cand", False)], out[("cand", True)]
+    same_c = sum(
+        ca.tokens[i, 0, :ca.lengths[i, 0]].tolist()
+        == cb.tokens[i, 0, :cb.lengths[i, 0]].tolist() for i in range(B))
+    assert same_c >= B - 1, f"candidate mode: only {same_c}/{B} match"
+    np.testing.assert_allclose(cb.scores[:, 0], ca.scores[:, 0],
+                               rtol=1e-4, atol=1e-4)
     a, b = out[False], out[True]
     same = sum(
         a.tokens[i, 0, :a.lengths[i, 0]].tolist()
