@@ -127,6 +127,24 @@ class BeamDecoder:
         # log-softmax normalizer folding: 'auto' = amp and V >= 1024 (see
         # the fold_lse comment in forward); True / False force it
         self.fold_logp = decode_cfg.get("fold_logp", "auto")
+        # EXACT early exit (default on): stop the label loop once no live
+        # hypothesis can still beat the K-th best finished score. Per-step
+        # score increments are <= 0 (log_softmax outputs and the CTC
+        # prefix probability are monotone non-increasing under extension),
+        # so a live hypothesis with total ``tot`` can at best finalize at
+        # normalized score tot/max_len (tot < 0) or tot/(n+1) (tot >= 0).
+        # ``early_stop_slack`` (normalized-score units) absorbs the tiny
+        # positive increments floating-point rounding can produce (bf16
+        # psi probs under amp bound the accumulated violation well below
+        # 0.01); exit is only taken with margin > slack, so outputs are
+        # bit-identical to the full-length loop. Weight-independent
+        # benches with random weights never trigger it (margins stay ~0);
+        # trained-model decode exits as soon as transcripts end.
+        es = decode_cfg.get("early_stop", "auto")
+        self.early_stop = True if es == "auto" else bool(es)
+        self.early_stop_slack = float(decode_cfg.get("early_stop_slack",
+                                                     0.05))
+        self._last_steps = None  # eager-mode debug/test hook
 
     # ------------------------------------------------------------------ run
     def forward(self, p: ASRParams, feat: jnp.ndarray, feat_len: jnp.ndarray,
@@ -479,8 +497,56 @@ class BeamDecoder:
         # get/update boilerplate profiled as ~120 micro-ops/step; unrolling
         # amortizes that overhead (1725 -> 1988 utts/sec at B=128 together
         # with the slimmer carry; beam tests stay green).
-        carry, (vs, ks) = jax.lax.scan(step, carry, jnp.arange(L + 1),
-                                       unroll=4)
+        S = L + 1
+        if not self.early_stop:
+            carry, (vs, ks) = jax.lax.scan(step, carry, jnp.arange(S),
+                                           unroll=4)
+        else:
+            # EXACT early exit: lax.scan lowers to a while loop anyway, so
+            # this hand-rolled while with a 4-step-unrolled body matches
+            # scan(unroll=4) per-step cost; the cond adds two (B, K)
+            # reductions per 4 steps. Steps past the exit (or past S inside
+            # the last unroll block) are semantically no-ops: every slot is
+            # dead or provably unable to enter the finished top-K, so the
+            # finished set — the only loop output besides the lineage
+            # records the backtrace masks by fin_step — is unchanged.
+            UN = 4
+            S4 = ((S + UN - 1) // UN) * UN
+            vs_buf = jnp.zeros((S4, B, K), jnp.int32)
+            ks_buf = jnp.zeros((S4, B, K), jnp.int32)
+            slack = self.early_stop_slack
+            m_hi = jnp.maximum(max_len, 1).astype(jnp.float32)      # (B,)
+
+            def cond(state):
+                t, c, _, _ = state
+                tot = c["base"] + cw * c["psi"]                    # (B, K)
+                alive = jnp.logical_and(c["valid"], t < max_len[:, None])
+                m_lo = jnp.maximum(t + 1, jnp.maximum(min_len, 1)
+                                   ).astype(jnp.float32)            # (B,)
+                bound = jnp.where(tot < 0.0, tot / m_hi[:, None],
+                                  tot / m_lo[:, None])
+                bound = jnp.where(alive, bound, NEG_INF)
+                best_live = jnp.max(bound, axis=1)                  # (B,)
+                worst_fin = jnp.min(c["fin_norm"], axis=1)          # (B,)
+                can_improve = jnp.logical_and(
+                    jnp.any(alive, axis=1),
+                    best_live >= worst_fin - slack)
+                return jnp.logical_and(t < S4, jnp.any(can_improve))
+
+            def body(state):
+                t, c, vsb, ksb = state
+                for j in range(UN):
+                    c, (v, kk) = step(c, t + j)
+                    vsb = jax.lax.dynamic_update_slice(
+                        vsb, v[None], (t + j, 0, 0))
+                    ksb = jax.lax.dynamic_update_slice(
+                        ksb, kk[None], (t + j, 0, 0))
+                return (t + UN, c, vsb, ksb)
+
+            t_fin, carry, vs, ks = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), carry, vs_buf, ks_buf))
+            if not isinstance(t_fin, jax.core.Tracer):
+                self._last_steps = int(t_fin)  # eager-mode test hook
         fin_step = carry["fin_meta"] >> 8
         fin_slot = carry["fin_meta"] & 0xFF
         fin_tokens = _backtrace(vs, ks, fin_step, fin_slot, L)
