@@ -63,6 +63,8 @@ def make_waves(n, secs=SECS, sr=16000, seed=SEED):
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
     from end_to_end_asr_pytorch_tpu.models.lm import RNNLM

@@ -32,6 +32,8 @@ V5E_PEAK_BF16 = 197e12  # TFLOP/s, one v5e chip
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      str(Path(__file__).parent / ".jax_cache"))
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
     from end_to_end_asr_pytorch_tpu.models.lm import RNNLM
@@ -164,15 +166,17 @@ def main():
         ps = jax.tree_util.tree_map(jnp.copy, params)
         os_ = jax.tree_util.tree_map(
             lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, opt_state)
+        # value-fetch sync + pre-built keys (see LM section note below)
+        tkeys = [jax.random.PRNGKey(3 + i) for i in range(20)]
         ps, os_, loss = step_fn(ps, os_, w, wl, text, text_len,
                                 jax.random.PRNGKey(2))
-        jax.block_until_ready(loss)
+        _ = float(loss)
         iters = 10
         t0 = time.perf_counter()
         for i in range(iters):
             ps, os_, loss = step_fn(ps, os_, w, wl, text, text_len,
-                                    jax.random.PRNGKey(3 + i))
-        jax.block_until_ready(loss)
+                                    tkeys[i])
+        _ = float(loss)
         dt = (time.perf_counter() - t0) / iters
         tflops = tr_flops / dt / 1e12
         out[f"train_batch128_{'bf16' if amp else 'f32'}"] = {
@@ -208,13 +212,17 @@ def main():
     ltx = jnp.asarray(np.random.RandomState(1).randint(2, VOCAB, (BL, UL)),
                       jnp.int32)
     ltl = jnp.full((BL,), UL, jnp.int32)
-    lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl, jax.random.PRNGKey(8))
-    jax.block_until_ready(l)
+    # Pre-build keys and sync with a VALUE FETCH: through the axon tunnel,
+    # block_until_ready on this small donated-scalar step can return before
+    # execution completes (measured 0.09 ms/step "timings"); float(l) forces
+    # real completion (costs one ~1.5 ms RTT across the 20-step loop).
+    lkeys = [jax.random.PRNGKey(9 + i) for i in range(21)]
+    lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl, lkeys[20])
+    _ = float(l)
     t0 = time.perf_counter()
     for i in range(20):
-        lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl,
-                                jax.random.PRNGKey(9 + i))
-    jax.block_until_ready(l)
+        lm_ps, lm_os, l = lm_fn(lm_ps, lm_os, ltx, ltl, lkeys[i])
+    _ = float(l)
     dt = (time.perf_counter() - t0) / 20
     out["lm_train_batch256"] = {
         "ms_per_step": round(dt * 1e3, 2),
