@@ -52,7 +52,23 @@ def att_greedy(model: ASR, p: ASRParams, enc: jnp.ndarray,
         done = jnp.logical_or(done, pred == EOS_IDX)
         return (state, align, pred, done), pred
 
+    # exact early exit: once every row is done, each remaining step writes
+    # EOS_IDX — which the output buffer is pre-filled with, so stopping the
+    # loop is output-identical to scanning all max_step steps (the beam
+    # decoder's early_stop needs a score bound; here it is this trivial).
     done0 = jnp.zeros((B,), bool)
-    _, ids = jax.lax.scan(step, (state, align, sos, done0), None,
-                          length=max_step)
+    ids_buf = jnp.full((max_step, B), EOS_IDX, jnp.int32)
+
+    def cond(s):
+        t, carry, _ = s
+        return jnp.logical_and(t < max_step, ~jnp.all(carry[3]))
+
+    def body(s):
+        t, carry, buf = s
+        carry, pred = step(carry, None)
+        buf = jax.lax.dynamic_update_slice(buf, pred[None], (t, 0))
+        return (t + 1, carry, buf)
+
+    _, _, ids = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (state, align, sos, done0), ids_buf))
     return jnp.swapaxes(ids, 0, 1)
