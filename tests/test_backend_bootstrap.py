@@ -52,9 +52,17 @@ def test_dryrun_multichip_self_bootstraps():
 @pytest.mark.slow
 def test_dryrun_multichip_after_backend_grab():
     """If an import already initialized a too-small backend, the dryrun must
-    re-exec itself in a subprocess rather than fail."""
+    re-exec itself in a subprocess rather than fail.
+
+    The too-small backend is a 1-device CPU platform (config-forced, since
+    the axon plugin ignores the JAX_PLATFORMS env var) — the same
+    ``_backend_initialized() and len(devices) < n`` condition a premature
+    TPU grab creates, but deterministic and independent of the TPU tunnel
+    (an earlier version grabbed the real chip and would hang the whole CPU
+    suite whenever the tunnel was wedged or the chip held elsewhere)."""
     code = (
-        "import jax; jax.devices();"  # grab the default backend first
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) < 8;"  # 1-device backend grabbed
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
     r = subprocess.run([sys.executable, "-c", code], cwd=str(REPO),
