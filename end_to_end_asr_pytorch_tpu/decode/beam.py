@@ -111,8 +111,7 @@ class BeamDecoder:
         # enumeration/golden parity tests stay exact.
         amp = decode_cfg.get("amp", "auto")
         if amp == "auto":
-            import jax as _jax
-            amp = _jax.default_backend() not in ("cpu",)
+            amp = jax.default_backend() not in ("cpu",)
         self.amp = bool(amp)
         # Pallas phase-1 psi kernel (ops/pallas/psi_kernel): MEASURED
         # NEGATIVE in-loop (V=5120 full decode 787 -> 567 utts/s despite
@@ -132,7 +131,8 @@ class BeamDecoder:
         # score increments are <= 0 (log_softmax outputs and the CTC
         # prefix probability are monotone non-increasing under extension),
         # so a live hypothesis with total ``tot`` can at best finalize at
-        # normalized score tot/max_len (tot < 0) or tot/(n+1) (tot >= 0).
+        # normalized score tot/(max_len+1) (tot < 0; the largest reachable
+        # divisor, from finalizing at step max_len) or tot/(n+1) (tot >= 0).
         # ``early_stop_slack`` (normalized-score units) absorbs the tiny
         # positive increments floating-point rounding can produce (bf16
         # psi probs under amp bound the accumulated violation well below
@@ -418,11 +418,11 @@ class BeamDecoder:
                     # beam-axis reorder for any state leaf shaped
                     # (..., B*K, trailing...) with the fold on axis 1;
                     # arbitrary trailing dims are flattened into one.
-                    if x is None or (x.ndim >= 2 and x.shape[1] != B * K):
+                    # Leaves without a B*K axis-1 fold (incl. rank-0/1
+                    # scalars) are beam-invariant and pass through, exactly
+                    # like the non-amp gather path below.
+                    if x is None or x.ndim < 2 or x.shape[1] != B * K:
                         return x
-                    assert x.ndim >= 2, (
-                        f"unexpected rank-{x.ndim} decoder/LM state leaf "
-                        f"{x.shape}; resel assumes the B*K fold on axis 1")
                     Lx = x.shape[0]
                     xr = x.reshape(Lx, B, K, -1)
                     out = jnp.einsum("bkj,lbjh->lbkh", oh.astype(x.dtype), xr)
@@ -515,12 +515,16 @@ class BeamDecoder:
             vs_buf = jnp.zeros((S4, B, K), jnp.int32)
             ks_buf = jnp.zeros((S4, B, K), jnp.int32)
             slack = self.early_stop_slack
-            m_hi = jnp.maximum(max_len, 1).astype(jnp.float32)      # (B,)
+            # a hypothesis finalizing at step max_len (its last chance) has
+            # max_len tokens + eos => normalized divisor max_len + 1
+            m_hi = jnp.maximum(max_len + 1, 1).astype(jnp.float32)  # (B,)
 
             def cond(state):
                 t, c, _, _ = state
                 tot = c["base"] + cw * c["psi"]                    # (B, K)
-                alive = jnp.logical_and(c["valid"], t < max_len[:, None])
+                # slots can still FINALIZE at t == max_len (the last,
+                # finalize-only step), so the liveness gate is <=, not <
+                alive = jnp.logical_and(c["valid"], t <= max_len[:, None])
                 m_lo = jnp.maximum(t + 1, jnp.maximum(min_len, 1)
                                    ).astype(jnp.float32)            # (B,)
                 bound = jnp.where(tot < 0.0, tot / m_hi[:, None],

@@ -192,8 +192,7 @@ class Attention:
             use_fused = (self.use_pallas_train and H == 1
                          and p.w_v is not None and p.w_merge is None)
             if use_fused:
-                import jax as _jax
-                use_fused = _jax.default_backend() not in ("cpu",)
+                use_fused = jax.default_backend() not in ("cpu",)
             if use_fused:
                 # fused energy+softmax+context step with hand VJP: the
                 # (B,T,d) tanh chain never touches HBM (fwd, remat, bwd)

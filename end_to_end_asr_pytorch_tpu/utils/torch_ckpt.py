@@ -39,13 +39,18 @@ import jax.numpy as jnp
 def is_torch_checkpoint(path: str) -> bool:
     """Sniff a torch-pickle checkpoint: zip archive (new format) or a bare
     pickle stream (legacy). This framework's own format starts with an
-    8-byte little-endian JSON-header length (tiny integer), so the first
-    bytes disambiguate reliably."""
+    8-byte little-endian JSON-header length; a tiny header length whose low
+    bytes spell 0x80 0x02..0x05 (e.g. exactly 640 bytes) would alias the
+    pickle protocol magic, so a pickle is only claimed when the next byte is
+    a real opcode — the native format's bytes 2..7 are always zero there
+    (header lengths are far below 2**16)."""
     with open(path, "rb") as f:
-        magic = f.read(4)
-    return magic[:4] == b"PK\x03\x04" or magic[:2] == b"\x80\x02" \
-        or magic[:2] == b"\x80\x03" or magic[:2] == b"\x80\x04" \
-        or magic[:2] == b"\x80\x05"
+        magic = f.read(8)
+    if magic[:4] == b"PK\x03\x04":
+        return True
+    if len(magic) >= 2 and magic[0] == 0x80 and magic[1] in (2, 3, 4, 5):
+        return magic[2:8].rstrip(b"\x00") != b""
+    return False
 
 
 def _np(t) -> np.ndarray:

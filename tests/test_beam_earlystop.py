@@ -1,7 +1,8 @@
 """Exact early-exit beam decode: outputs must be bit-identical to the
 full-length loop, and the exit must actually trigger when transcripts end
-early (decode/beam.py early_stop; the admissible bound is tot/max_len for
-tot < 0 since per-step score increments are <= 0)."""
+early (decode/beam.py early_stop; the admissible bound is tot/(max_len+1)
+for tot < 0 since per-step score increments are <= 0 and the largest
+reachable normalization divisor is max_len+1)."""
 import sys
 from pathlib import Path
 
@@ -101,6 +102,60 @@ def test_early_stop_safe_when_beam_never_fills():
     # min_len == max_len == 1 label step: only single finalization chance
     cfg = {"beam_size": 5, "min_len_ratio": 0.0, "max_len_ratio": 0.1,
            "ctc_weight": 0.5}
+    out_full = BeamDecoder(model, dict(cfg, early_stop=False)).forward(
+        params, feat, flen)
+    out_es = BeamDecoder(model, dict(cfg, early_stop=True)).forward(
+        params, feat, flen)
+    _assert_same(out_full, out_es)
+
+
+@pytest.mark.parametrize("t_enc", [7, 8, 9])
+def test_early_stop_final_step_finalization(t_enc):
+    """Regression: with continuations ~free and eos expensive, the best
+    hypothesis only finalizes at the LAST chance (step max_len, normalized
+    by max_len+1). The early-exit cond must keep the loop alive through
+    that finalize-only step — including when max_len is a multiple of the
+    unroll factor 4 (t_enc=8), where the old `t < max_len` liveness gate
+    exited one block early and dropped the longest hypothesis."""
+    model, params = _model(ctc_weight=0.0)
+    bias = np.zeros((V,), np.float32)
+    bias[EOS_IDX] = -20.0         # continuations ~free, eos ~ -20
+    params = params._replace(char_b=jnp.asarray(bias))
+    rng = np.random.RandomState(t_enc)
+    feat = jnp.asarray(rng.randn(2, t_enc, 6), jnp.float32)
+    flen = jnp.array([t_enc, t_enc])
+    cfg = {"beam_size": 4, "min_len_ratio": 0.0, "max_len_ratio": 1.0,
+           "ctc_weight": 0.0}
+    out_full = BeamDecoder(model, dict(cfg, early_stop=False)).forward(
+        params, feat, flen)
+    out_es = BeamDecoder(model, dict(cfg, early_stop=True)).forward(
+        params, feat, flen)
+    _assert_same(out_full, out_es)
+    # the winning hypothesis really is full-length (the scenario bites)
+    assert int(np.asarray(out_full.lengths)[0, 0]) == t_enc
+
+
+def test_early_stop_bound_divisor():
+    """Regression for the admissible bound's divisor: a live hypothesis
+    with strongly negative tot can still finalize at step max_len with
+    divisor max_len+1, so the bound must use max_len+1 — tot/max_len
+    underestimates the reachable score by |tot|/(max_len*(max_len+1)),
+    which exceeds the default 0.05 slack once |tot| is large. A model
+    whose per-step scores are uniformly ~log(1/V) (flat logits at V=6:
+    ~-1.8/step) makes every live tot strongly negative while eos remains
+    competitive only at the very end."""
+    model, params = _model(ctc_weight=0.0)
+    # scale weights way down -> logits ~0 -> flat log_softmax ~ -log V;
+    # eos slightly penalized so finalization prefers the last steps
+    params = jax.tree_util.tree_map(lambda x: x * 0.01, params)
+    bias = np.zeros((V,), np.float32)
+    bias[EOS_IDX] = -1.0
+    params = params._replace(char_b=jnp.asarray(bias))
+    rng = np.random.RandomState(0)
+    feat = jnp.asarray(rng.randn(2, T_ENC, 6), jnp.float32)
+    flen = jnp.array([T_ENC, T_ENC])
+    cfg = {"beam_size": 4, "min_len_ratio": 0.0, "max_len_ratio": 1.0,
+           "ctc_weight": 0.0}
     out_full = BeamDecoder(model, dict(cfg, early_stop=False)).forward(
         params, feat, flen)
     out_es = BeamDecoder(model, dict(cfg, early_stop=True)).forward(
