@@ -3,10 +3,10 @@
 
 LibriSpeech deployments use subword vocabs (1k-16k), not the char-31 vocab
 bench.py's flagship number is measured at. This script measures the full
-beam+LM+CTC decode at V in {31, 1024, 5120, 16384} in candidate-restricted
-CTC scoring mode (the production path for large V: phase-1 psi row-gathers
-C candidate rows instead of reading the whole (B,T,V) probs tensor per
-step) and, where it fits, full-vocab scoring for comparison.
+beam+LM+CTC decode at V in {31, 1024, 5120, 16384}: full-vocab CTC scoring
+(the default and the fast path on TPU), candidate-restricted mode for
+comparison (a search-space knob; measured slower at every V — see
+BASELINE.md), and the opt-in int8-quantized psi matmul (`psi_quant`).
 
 Writes bench_vocab.json rows for BASELINE.md's V-scaling table.
 Run on the TPU host; never concurrently with pytest (1 host core).
@@ -29,7 +29,7 @@ BATCH = 128
 ITERS = 20  # 10-iter trials swing +-10% through the TPU tunnel
 
 
-def run_one(V, ctc_candidates, batch=BATCH, iters=ITERS):
+def run_one(V, ctc_candidates, psi_quant=False, batch=BATCH, iters=ITERS):
     import jax
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
@@ -47,6 +47,8 @@ def run_one(V, ctc_candidates, batch=BATCH, iters=ITERS):
         cfg["ctc_candidates"] = ctc_candidates
     else:
         cfg["ctc_candidates"] = V  # force full-vocab CTC scoring
+    if psi_quant:
+        cfg["psi_quant"] = psi_quant
     decoder = BeamDecoder(model, cfg, lm=lm)
 
     fwd = jax.jit(lambda p, lp, w, wl: decoder.forward(
@@ -67,7 +69,9 @@ def run_one(V, ctc_candidates, batch=BATCH, iters=ITERS):
     return {
         "V": V,
         "ctc_candidates": cfg["ctc_candidates"],
-        "mode": "full" if cfg["ctc_candidates"] >= V else "candidate",
+        "psi_quant": psi_quant or False,
+        "mode": ("full" if cfg["ctc_candidates"] >= V else "candidate")
+                + ("+q8" if psi_quant else ""),
         "batch": batch,
         "utts_per_sec": round(batch / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),
@@ -79,32 +83,34 @@ def run_one(V, ctc_candidates, batch=BATCH, iters=ITERS):
 def main():
     rows = []
     configs = [
-        (31, None),          # char flagship (C=128 default >= V -> full)
-        (1024, 32),
-        (1024, 128),
-        (1024, None),        # full-vocab scoring comparison
-        (5120, 128),
-        (5120, None),
-        (16384, 128),
-        (16384, None),
+        (31, None, False),   # char flagship (C=128 default >= V -> full)
+        (1024, 32, False),
+        (1024, 128, False),
+        (1024, None, False),  # full-vocab scoring comparison
+        (5120, 128, False),
+        (5120, None, False),
+        (16384, 128, False),
+        (16384, None, False),
+        (1024, None, "int8"),
+        (5120, None, "int8"),
+        (16384, None, "int8"),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
-    for V, C in configs:
-        tag = f"{V}/{C}"
+    for V, C, Q in configs:
+        tag = f"{V}/{C}" + ("/q8" if Q else "")
         if only and tag not in only:
             continue
-        r = run_one(V, C)
+        r = run_one(V, C, Q)
         rows.append(r)
         print(json.dumps(r), flush=True)
     out_file = Path(__file__).parent / "bench_vocab.json"
     old = json.loads(out_file.read_text()) if out_file.exists() else []
     # replace rows with the same (V, ctc_candidates)
-    keyed = {(r["V"], r["ctc_candidates"]): r for r in old}
+    key = lambda r: (r["V"], r["ctc_candidates"], str(r.get("psi_quant") or ""))
+    keyed = {key(r): r for r in old}
     for r in rows:
-        keyed[(r["V"], r["ctc_candidates"])] = r
-    out_file.write_text(json.dumps(
-        sorted(keyed.values(), key=lambda r: (r["V"], r["ctc_candidates"])),
-        indent=1))
+        keyed[key(r)] = r
+    out_file.write_text(json.dumps(sorted(keyed.values(), key=key), indent=1))
 
 
 if __name__ == "__main__":

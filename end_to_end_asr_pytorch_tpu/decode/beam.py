@@ -123,6 +123,22 @@ class BeamDecoder:
         if pk == "auto":
             pk = False
         self.psi_pallas = pk
+        # int8-quantized phase-1 psi matmul (opt-in, amp only): the psi
+        # einsum re-reads the loop-invariant (B,T,V) probs tensor every
+        # step and is bandwidth-bound at subword vocabs; storing probs as
+        # int8 (scale 127, probs are in [0,1]) halves that traffic vs bf16
+        # and runs the MXU's double-rate s8 path. Selection-only accuracy
+        # knob: the carried base is recovered as top_tot - cw*psi with the
+        # SAME quantized psi, so quantization error never accumulates into
+        # scores — it can only reorder near-tied candidate selections
+        # (error <= ~(0.5/127)/avg_emission_prob along the prefix paths;
+        # phase-2 r states, eos scores and finished ranking stay exact).
+        pq = decode_cfg.get("psi_quant", False)
+        if pq not in (False, None, "int8"):
+            raise ValueError(f"psi_quant must be False or 'int8', got {pq!r}")
+        self.psi_quant = pq or False
+        if self.psi_quant:       # mutually exclusive phase-1 psi overrides
+            self.psi_pallas = False
         # log-softmax normalizer folding: 'auto' = amp and V >= 1024 (see
         # the fold_lse comment in forward); True / False force it
         self.fold_logp = decode_cfg.get("fold_logp", "auto")
@@ -220,13 +236,20 @@ class BeamDecoder:
                 ctc_probs = jnp.exp(ctc_lp)
             r_state, psi_prev = ctc_prefix.init_state(ctc_lp, K)
             blank_lp = jnp.maximum(ctc_lp[:, :, 0], ctc_prefix.CLIP)
+            # int8 psi operand, quantized from the F32 log-probs (one more
+            # loop-invariant companion; the bf16 ctc_probs stays live for
+            # the exact psi_same/p_last lane gathers)
+            ctc_probs_q8 = (
+                jnp.clip(jnp.round(jnp.exp(ctc_lp) * 127.0), 0.0, 127.0)
+                .astype(jnp.int8)
+                if (self.amp and self.psi_quant == "int8") else None)
             # Pallas psi only where it applies: amp probs, blockable vocab
             from ..ops.pallas.psi_kernel import pick_block
             psi_pallas = (self.psi_pallas if pick_block(
                 V, T, ctc_probs.dtype.itemsize) is not None else False)
         else:
             ctc_lp = r_state = None
-            ctc_probs = blank_lp = None
+            ctc_probs = blank_lp = ctc_probs_q8 = None
             psi_pallas = False
             psi_prev = jnp.zeros((B, K))
 
@@ -363,7 +386,8 @@ class BeamDecoder:
                 psi_full, _ = ctc_prefix.score_candidates(
                     ctc_lp, carry["r"], carry["last"],
                     jnp.full((B, K), t, jnp.int32), with_state=False,
-                    probs=ctc_probs, psi_pallas=psi_pallas)
+                    probs=ctc_probs, psi_pallas=psi_pallas,
+                    probs_q8=ctc_probs_q8)
                 if C < V:
                     _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
                     psi = jnp.take_along_axis(psi_full, cand, axis=2)

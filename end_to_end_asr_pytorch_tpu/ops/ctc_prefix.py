@@ -90,7 +90,8 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
                      lp_vt: jnp.ndarray | None = None,
                      probs_vt: jnp.ndarray | None = None,
                      blank_lp: jnp.ndarray | None = None,
-                     psi_pallas: bool | str = False
+                     psi_pallas: bool | str = False,
+                     probs_q8: jnp.ndarray | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
@@ -112,7 +113,9 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
     2.16); otherwise all V.
 
     ``probs`` (= exp(ctc_lp)), ``lp_vt`` (= moveaxis(ctc_lp, 1, 2)),
-    ``probs_vt`` (= exp(lp_vt)) and ``blank_lp`` (= max(ctc_lp[:,:,blank],
+    ``probs_vt`` (= exp(lp_vt)), ``probs_q8`` (= round(exp(ctc_lp)*127) as
+    int8; opt-in quantized psi-matmul operand, see beam.py `psi_quant`) and
+    ``blank_lp`` (= max(ctc_lp[:,:,blank],
     CLIP)) are loop-invariant (B, T, V)- / (B, T)-sized tensors: callers
     scoring many steps (the beam loop) should precompute them ONCE outside
     the step — XLA does not hoist them out of the while body, and at subword
@@ -231,13 +234,40 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
                 wd, probs, md[..., 0], psi_same, last_tok, blank=blank,
                 interpret=(psi_pallas == "interpret")), None
 
-        # match the small operand's dtype to probs: a mixed f32 x bf16
-        # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
-        # materialized copy EVERY step) instead of running the native bf16
-        # MXU path; wd/ws casts keep psi's f32 accumulation
-        psi_diff = md + jnp.log(jnp.einsum(
-            "bkt,btv->bkv", wd.astype(probs.dtype), probs,
-            preferred_element_type=jnp.float32) + 1e-38)    # (B, K, V)
+        if probs_q8 is not None:
+            # int8-quantized psi matmul (beam.py `psi_quant`): probs were
+            # pre-quantized to round(p*127) in [0,127]; the step weights
+            # exp(phi-md) are in [0,1] and quantize the same way. The s8xs8
+            # dot accumulates exactly in int32 (<= T*127^2 << 2^31), so the
+            # error is the two uniform quantizations. The governing term is
+            # the DYNAMIC RANGE of the weights: wd spans many decades under
+            # one per-hypothesis max shift, so any contribution from time
+            # steps with wd below ~1/254 of the max is dropped — psi is
+            # quantization-step accurate for candidates whose mass rides
+            # the dominant weight steps (measured <0.03 nats within 2 nats
+            # of the per-hypothesis best, <0.15 within 3; candidates >4-5
+            # nats back can degrade arbitrarily, incl. to NEG_INF below).
+            # Halves the einsum's HBM reads vs bf16, doubles MXU s8 rate.
+            qw = jnp.clip(jnp.round(wd * 127.0), 0.0, 127.0
+                          ).astype(jnp.int8)
+            acc = jnp.einsum("bkt,btv->bkv", qw, probs_q8,
+                             preferred_element_type=jnp.int32)
+            # acc == 0 means the weighted emission mass is below the
+            # quantization resolution (~1/127^2): mark impossible (NEG_INF,
+            # the same convention as the blank mask) rather than log(eps) —
+            # a subnormal eps flushes to zero in f32 and a normal one would
+            # place all dead candidates at an arbitrary md-relative floor.
+            accf = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+            psi_diff = jnp.where(
+                acc > 0, md + jnp.log(jnp.maximum(accf, 1e-30)), NEG_INF)
+        else:
+            # match the small operand's dtype to probs: a mixed f32 x bf16
+            # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
+            # materialized copy EVERY step) instead of running the native
+            # bf16 MXU path; wd/ws casts keep psi's f32 accumulation
+            psi_diff = md + jnp.log(jnp.einsum(
+                "bkt,btv->bkv", wd.astype(probs.dtype), probs,
+                preferred_element_type=jnp.float32) + 1e-38)  # (B, K, V)
 
         vocab_ids = jax.lax.broadcasted_iota(jnp.int32, (B, K, V), 2)
         psi_full = jnp.where(vocab_ids == last_tok[..., None],
