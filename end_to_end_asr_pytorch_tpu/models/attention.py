@@ -45,6 +45,12 @@ class AttCache(NamedTuple):
     mask: jnp.ndarray      # (B, T) bool valid
     inv_len: jnp.ndarray   # (B, 1) 1/enc_len
     loc_band: Optional[jnp.ndarray] = None  # (T, T*n_filt) Toeplitz loc conv
+    # lane-padded parameter copies for the beam loop (pad_lanes only):
+    # (w_q_pad (Dq, H*d_pad), w_f_pad (F, d_pad), bias_pad (H, d_pad),
+    # v_energy_pad (H, d_pad)). XLA does not hoist the per-step jnp.pad of
+    # these loop invariants out of the decode while body, so they are
+    # precomputed once here — mathematically inert zero columns.
+    p_pad: Optional[tuple] = None
 
 
 class Attention:
@@ -130,7 +136,23 @@ class Attention:
         mask = jnp.arange(T)[None, :] < enc_len[:, None]
         inv_len = 1.0 / jnp.maximum(enc_len, 1).astype(jnp.float32)
         loc_band = (self._loc_band(p, T) if self.mode == "loc" else None)
-        return AttCache(keys, vals, mask, inv_len[:, None], loc_band)
+        p_pad = None
+        if pad_lanes and self.d_pad != self.dim:
+            padw = self.d_pad - self.dim
+            H = self.num_head
+            w_q_pad = jnp.pad(
+                p.w_q.reshape(self.query_dim, H, self.dim),
+                ((0, 0), (0, 0), (0, padw))).reshape(self.query_dim,
+                                                     H * self.d_pad)
+            if self.mode == "loc":
+                p_pad = (w_q_pad,
+                         jnp.pad(p.w_f, ((0, 0), (0, padw))),
+                         jnp.pad(p.bias.reshape(H, self.dim),
+                                 ((0, 0), (0, padw))),
+                         jnp.pad(p.v_energy, ((0, 0), (0, padw))))
+            else:
+                p_pad = (w_q_pad, None, None, None)
+        return AttCache(keys, vals, mask, inv_len[:, None], loc_band, p_pad)
 
     def _loc_band(self, p: AttentionParams, T: int) -> jnp.ndarray:
         """Location conv as a (T, T*F) Toeplitz band matrix.
@@ -244,9 +266,27 @@ class Attention:
         B, H, T, d = cache.keys.shape        # d == dim, or d_pad if padded
         K = query.shape[1]
         pad = d - self.dim
-        q = jnp.dot(query, p.w_q, preferred_element_type=jnp.float32)
-        q = jnp.pad(q.reshape(B, K, H, self.dim),
-                    ((0, 0), (0, 0), (0, 0), (0, pad)))
+        # precomputed lane-padded params (see AttCache.p_pad): per-step
+        # pads of loop invariants are NOT hoisted out of the while body by
+        # XLA; the padded w_q additionally removes the per-step pad +
+        # relayout of the (B, K, H, dim) query activations. Zero columns —
+        # bit-identical to padding after the matmul.
+        if cache.p_pad is not None:
+            w_q_p, w_f_p, bias_p, v_en_p = cache.p_pad
+            q = jnp.dot(query, w_q_p,
+                        preferred_element_type=jnp.float32).reshape(
+                            B, K, H, d)
+        else:
+            w_f_p = (jnp.pad(p.w_f, ((0, 0), (0, pad)))
+                     if p.w_f is not None else None)
+            bias_p = (jnp.pad(p.bias.reshape(H, self.dim),
+                              ((0, 0), (0, pad)))
+                      if p.bias is not None else None)
+            v_en_p = (jnp.pad(p.v_energy, ((0, 0), (0, pad)))
+                      if p.v_energy is not None else None)
+            q = jnp.dot(query, p.w_q, preferred_element_type=jnp.float32)
+            q = jnp.pad(q.reshape(B, K, H, self.dim),
+                        ((0, 0), (0, 0), (0, 0), (0, pad)))
 
         cd = cache.keys.dtype  # f32, or bf16 under decode-time amp
         if self.mode == "dot":
@@ -262,12 +302,10 @@ class Attention:
                           preferred_element_type=jnp.float32)
             F = cache.loc_band.shape[-1] // T
             if not (self.use_pallas and H == 1 and p.w_v is not None):
-                f = jnp.dot(fsm.reshape(B * K * T, F),
-                            jnp.pad(p.w_f, ((0, 0), (0, pad))),
+                f = jnp.dot(fsm.reshape(B * K * T, F), w_f_p,
                             preferred_element_type=jnp.float32)
                 f = f.reshape(B, K, T, d)
-                qb = q + jnp.pad(p.bias.reshape(H, self.dim),
-                                 ((0, 0), (0, pad)))[None, None]
+                qb = q + bias_p[None, None]
                 # the (B,K,H,T,d) tanh chain runs in the cache dtype (bf16
                 # under amp: halves the step's dominant HBM traffic); the
                 # energy reduction and softmax accumulate in f32
@@ -275,8 +313,7 @@ class Attention:
                             + cache.keys[:, None]
                             + f.astype(cd)[:, :, None, :, :])  # (B,K,H,T,d)
                 energy = jnp.einsum("bkhtd,hd->bkht", jnp.tanh(tanh_arg),
-                                    jnp.pad(p.v_energy,
-                                            ((0, 0), (0, pad))).astype(cd),
+                                    v_en_p.astype(cd),
                                     preferred_element_type=jnp.float32)
                 energy = energy / self.temperature
                 energy = jnp.where(cache.mask[:, None, None, :], energy,
@@ -297,13 +334,12 @@ class Attention:
                                   preferred_element_type=jnp.float32)
                 return ctx, align
             from ..ops.pallas.att_kernel import loc_attention_fused
-            qb = q[:, :, 0] + jnp.pad(p.bias, (0, pad))[None, None]
+            qb = q[:, :, 0] + bias_p[0][None, None]
             enc_len = jnp.sum(cache.mask.astype(jnp.int32), axis=1)
             ctx, align = loc_attention_fused(  # kernel is f32-only
                 qb, cache.keys[:, 0].astype(jnp.float32),
                 fsm.reshape(B, K, T, F),
-                jnp.pad(p.w_f, ((0, 0), (0, pad))),
-                jnp.pad(p.v_energy[0], (0, pad)),
+                w_f_p, v_en_p[0],
                 cache.values.astype(jnp.float32), enc_len,
                 temperature=self.temperature)
             return ctx, align[:, :, None, :]

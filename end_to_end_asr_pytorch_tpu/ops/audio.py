@@ -132,10 +132,9 @@ class AudioFrontend:
         # fused Pallas fast path (TPU, fbank, 80-divisible geometry)
         use_pallas = audio_cfg.get("use_pallas", "auto")
         if use_pallas == "auto":
-            import jax as _jax
             use_pallas = (self.feat_type == "fbank"
                           and self.n_fft % 80 == 0 and self.hop % 80 == 0
-                          and _jax.default_backend() not in ("cpu",))
+                          and jax.default_backend() not in ("cpu",))
         self.use_pallas = bool(use_pallas)
 
     # -- shape helpers (host side, static) --------------------------------
@@ -147,6 +146,11 @@ class AudioFrontend:
     def _frame(self, wav: jnp.ndarray) -> jnp.ndarray:
         """(B, S) -> (B, T, n_fft) with center reflect padding."""
         pad = self.n_fft // 2
+        if wav.shape[1] <= pad:
+            # reflect padding needs S > pad (torch.stft errors here too);
+            # zero-extend degenerate sub-window clips instead of crashing —
+            # only reachable for < n_fft/2 samples (~12.5 ms at 16 kHz)
+            wav = jnp.pad(wav, ((0, 0), (0, pad + 1 - wav.shape[1])))
         wav = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
         B, S = wav.shape
         T = (S - self.n_fft) // self.hop + 1

@@ -50,7 +50,10 @@ def spec_augment(feat: jnp.ndarray, feat_len: jnp.ndarray, rng,
         width = jax.random.randint(k1, (B, 1), 0, tw + 1)
         width = jnp.minimum(width, max_t[:, None])
         limit = jnp.maximum(feat_len[:, None] - width, 1)
-        start = jax.random.randint(k2, (B, 1), 0, T) % limit
+        # randint accepts traced per-row bounds (same pattern as the freq
+        # branch); the old randint(0, T) % limit was modulo-biased toward
+        # low frame indices whenever limit does not divide T
+        start = jax.random.randint(k2, (B, 1), 0, limit)
         m = (t_ids >= start) & (t_ids < start + width)        # (B, T)
         keep = keep & ~m[:, :, None]
 

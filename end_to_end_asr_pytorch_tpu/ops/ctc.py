@@ -100,9 +100,12 @@ def ctc_loss(log_probs: jnp.ndarray, logit_lengths: jnp.ndarray,
 
 def ctc_loss_mean(log_probs, logit_lengths, labels, label_lengths,
                   blank: int = 0) -> jnp.ndarray:
-    """torch.nn.CTCLoss(reduction='mean') semantics: each sample's NLL divided
-    by its label length, then averaged over the batch — what the reference's
-    training loss uses (SURVEY.md 2.4)."""
+    """torch.nn.CTCLoss(reduction='mean', zero_infinity=True) semantics:
+    each sample's NLL divided by its label length, then averaged over the
+    batch — what the reference's training loss uses (SURVEY.md 2.4).
+    Rows with no feasible alignment (NLL ~1e30 from the NEG_INF guards)
+    contribute zero, and the where also zeroes their cotangent so no
+    gradient garbage leaks from either CTC backend."""
     nll = ctc_loss(log_probs, logit_lengths, labels, label_lengths, blank)
     denom = jnp.maximum(label_lengths, 1).astype(nll.dtype)
-    return jnp.mean(nll / denom)
+    return jnp.mean(jnp.where(nll < 1e29, nll / denom, 0.0))

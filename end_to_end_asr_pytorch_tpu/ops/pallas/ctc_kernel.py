@@ -107,9 +107,15 @@ def _kernel(emit_ref, skip_ref, len_ref, eidx_ref, loss_ref, grad_ref,
         loss_ref[g * BT + i, 0] = -logz[i, 0]
 
     # ---------------- backward: beta + gradient, walking t downward
+    # infeasible rows (no alignment reaches an end state, logz == NEG_INF)
+    # must emit ZERO gradient: alpha+beta-logz otherwise cancels the two
+    # -1e30 absorptions to 0 wherever exactly one of alpha/beta is finite,
+    # scattering dense -exp(0) = -1 garbage across the lattice.
+    feas = logz > NEG_INF / 2                  # (BT, 1)
     beta_last = jnp.where(sel, 0.0, NEG_INF)
     grad_ref[:, T - 1, :] = jnp.where(
-        (T - 1) < lens, -jnp.exp(last + beta_last - logz), 0.0)
+        jnp.logical_and((T - 1) < lens, feas),
+        -jnp.exp(last + beta_last - logz), 0.0)
 
     # transition s -> s+2 requires skip_ok at the destination lane s+2
     skip_src = _row_unshift(jnp.where(skip > 0, 0.0, NEG_INF), 2)
@@ -124,7 +130,8 @@ def _kernel(emit_ref, skip_ref, len_ref, eidx_ref, loss_ref, grad_ref,
         beta = jnp.where(t + 1 < lens, beta, beta_next)
         alpha_t = alpha_ref[t]
         grad_ref[:, t, :] = jnp.where(
-            t < lens, -jnp.exp(alpha_t + beta - logz), 0.0)
+            jnp.logical_and(t < lens, feas),
+            -jnp.exp(alpha_t + beta - logz), 0.0)
         return beta
 
     jax.lax.fori_loop(0, T - 1, bwd, beta_last)

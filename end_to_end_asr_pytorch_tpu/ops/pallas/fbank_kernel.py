@@ -89,9 +89,15 @@ def fbank_fused(wave: jnp.ndarray, cosw: jnp.ndarray, msinw: jnp.ndarray,
 
     pad = n_fft // 2
     wave_p = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
-    # room for the last tile's frames
+    # room for the last tile's frames, rounded up to a whole number of
+    # SUB-sample subchunks: for waveform lengths where S + n_fft already
+    # covers `need` but is not SUB-aligned, the reshape below would
+    # otherwise fail (the extra tail samples are never read — frame DMAs
+    # stop at T_pad)
     need = (T_pad - 1) * hop + n_fft
-    wave_p = jnp.pad(wave_p, ((0, 0), (0, max(0, need - wave_p.shape[1]))))
+    target = max(need, wave_p.shape[1])
+    target = ((target + SUB - 1) // SUB) * SUB
+    wave_p = jnp.pad(wave_p, ((0, 0), (0, target - wave_p.shape[1])))
     n_sub = wave_p.shape[1] // SUB
     # subchunk rows padded 80 -> 128 lanes (DMA slices must be lane-aligned);
     # costs one cheap XLA pad of the small waveform, still avoids ever

@@ -175,8 +175,15 @@ class Solver(BaseSolver):
                 total = 0.0
                 if ctc_out is not None:
                     nll = ctc_loss_fn(ctc_out, enc_len, text, text_len)
+                    # torch CTCLoss(zero_infinity=True) semantics: a row
+                    # with no feasible alignment (enc_len shorter than the
+                    # label string's minimum path) returns NLL ~1e30; zero
+                    # its loss term — the where also zeroes its cotangent,
+                    # so neither backend's gradient garbage can leak
+                    # (tests/test_ctc.py::test_infeasible_*)
+                    ctc_valid = jnp.logical_and(valid, nll < 1e29)
                     per = nll / jnp.maximum(text_len, 1)
-                    ctc_l = jnp.sum(jnp.where(valid, per, 0.0)) / n_valid
+                    ctc_l = jnp.sum(jnp.where(ctc_valid, per, 0.0)) / n_valid
                     total = total + ctc_w * ctc_l
                     metrics["ctc_loss"] = ctc_l
                 if att_out is not None:
@@ -211,10 +218,11 @@ class Solver(BaseSolver):
                 ctc_out = model.ctc_output(asr_p, enc)
                 nll = ctc_loss(ctc_out, enc_len, text, text_len)
                 out["ctc_pred"] = ctc_greedy(ctc_out)
-                valid = (text_len > 0)
+                # zero_infinity: exclude infeasible rows (see train loss_fn)
+                valid = jnp.logical_and(text_len > 0, nll < 1e29)
                 per = nll / jnp.maximum(text_len, 1)
                 out["ctc_loss"] = (jnp.sum(jnp.where(valid, per, 0.0))
-                                   / jnp.maximum(jnp.sum(valid), 1))
+                                   / jnp.maximum(jnp.sum(text_len > 0), 1))
             if model.enable_att:
                 max_dec = int(math.ceil(U * DEV_STEP_RATIO))
                 # decode-time emb fusion applies in validation greedy decode

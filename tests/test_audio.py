@@ -119,3 +119,15 @@ def test_frontend_is_jittable():
     a, al = jitted(wav, wave_len)
     b, bl = fe(wav, wave_len)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_frontend_degenerate_short_waveform():
+    """Sub-window clips (< n_fft/2 samples) must produce finite features
+    instead of crashing the reflect pad (torch.stft errors on these; the
+    framework zero-extends — documented divergence for degenerate input)."""
+    import jax.numpy as jnp
+    fe = AudioFrontend({"feat_type": "fbank", "feat_dim": 40})
+    wave = jnp.zeros((2, 150), jnp.float32)  # < n_fft//2+1 = 201 samples
+    feat, flen = fe(wave, jnp.array([150, 80], jnp.int32))
+    assert np.isfinite(np.asarray(feat)).all()
+    assert feat.shape[0] == 2

@@ -85,3 +85,45 @@ def test_ctc_jit_and_repeated_labels():
     got = np.asarray(f(log_probs, logit_lens, labels, label_lens))
     ref = _torch_nll(logits, logit_lens, labels, label_lens).numpy()
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_infeasible_row_zero_infinity_mean_and_grads():
+    """A row whose logit_len is shorter than its label string's minimum CTC
+    path must contribute ZERO to ctc_loss_mean and ZERO gradient (torch
+    CTCLoss(zero_infinity=True) semantics), while per-sample ctc_loss still
+    reports the ~1e30 sentinel for callers that mask themselves."""
+    rng = np.random.RandomState(7)
+    B, T, V, U = 3, 12, 6, 5
+    logits = rng.randn(B, T, V).astype(np.float32)
+    labels = rng.randint(1, V, size=(B, U)).astype(np.int32)
+    labels[1] = [2, 2, 2, 2, 2]          # adjacent repeats: min path 2U-1+... > 3
+    label_lens = np.array([U, U, U - 2], np.int32)
+    logit_lens = np.array([T, 3, T], np.int32)   # row 1 infeasible
+
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+    nll = np.asarray(ctc_loss(lp, logit_lens, labels, label_lens))
+    assert nll[1] > 1e29 and np.all(nll[[0, 2]] < 1e3)
+
+    # mean matches torch zero_infinity=True on the mixed batch
+    got = float(ctc_loss_mean(lp, logit_lens, labels, label_lens))
+    tlp = torch.log_softmax(torch.from_numpy(logits), -1).transpose(0, 1)
+    ref = torch.nn.functional.ctc_loss(
+        tlp, torch.from_numpy(labels), torch.from_numpy(logit_lens),
+        torch.from_numpy(label_lens), blank=0, reduction="mean",
+        zero_infinity=True).item()
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+    # gradients of the zero_infinity mean: infeasible row exactly zero,
+    # feasible rows match torch
+    def loss_fn(lg):
+        return ctc_loss_mean(jax.nn.log_softmax(lg, -1), logit_lens,
+                             labels, label_lens)
+    g = np.asarray(jax.grad(loss_fn)(jnp.asarray(logits)))
+    assert np.all(g[1] == 0.0), "infeasible row leaked gradient"
+    tl = torch.from_numpy(logits).requires_grad_(True)
+    torch.nn.functional.ctc_loss(
+        torch.log_softmax(tl, -1).transpose(0, 1), torch.from_numpy(labels),
+        torch.from_numpy(logit_lens), torch.from_numpy(label_lens), blank=0,
+        reduction="mean", zero_infinity=True).backward()
+    np.testing.assert_allclose(g[[0, 2]], tl.grad.numpy()[[0, 2]],
+                               rtol=1e-3, atol=1e-5)

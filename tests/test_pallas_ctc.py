@@ -52,3 +52,38 @@ def test_pallas_ctc_repeated_labels_and_batch_pad():
     got = np.asarray(ctc_loss_pallas(lp, logit_lens, labels, label_lens,
                                      0, True))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_infeasible_row_emits_zero_grad():
+    """Regression: for rows with no feasible alignment the kernel used to
+    emit dense -1 gradients (alpha+beta-logz cancels the two -1e30
+    absorptions to 0 wherever exactly one side is finite). The kernel must
+    emit exactly zero for such rows even when the upstream cotangent is
+    nonzero, and the feasible rows must stay intact."""
+    rng = np.random.RandomState(11)
+    B, T, V, U = 2, 10, 6, 4
+    logits = rng.randn(B, T, V).astype(np.float32)
+    labels = np.array([[1, 2, 3, 4], [2, 2, 2, 2]], np.int32)
+    label_lens = np.array([U, U], np.int32)
+    logit_lens = np.array([T, 3], np.int32)      # row 1 infeasible
+
+    lp = jax.nn.log_softmax(jnp.asarray(logits), -1)
+
+    def loss_sum(x):
+        # sum with unit upstream g per row: any kernel garbage would leak
+        return jnp.sum(ctc_loss_pallas(x, logit_lens, labels, label_lens,
+                                       0, True))
+
+    g_pallas = np.asarray(jax.grad(loss_sum)(lp))
+    assert np.all(g_pallas[1] == 0.0), "infeasible row leaked gradient"
+
+    def loss_sum_ref(x):
+        nll = ctc_loss(x, logit_lens, labels, label_lens)
+        return jnp.sum(jnp.where(nll < 1e29, nll, 0.0))
+
+    g_ref = np.asarray(jax.grad(loss_sum_ref)(lp))
+    np.testing.assert_allclose(g_pallas[0], g_ref[0], rtol=1e-4, atol=1e-5)
+    # the per-sample sentinel is preserved for self-masking callers
+    nll = np.asarray(ctc_loss_pallas(lp, logit_lens, labels, label_lens,
+                                     0, True))
+    assert nll[1] > 1e29 and nll[0] < 1e3

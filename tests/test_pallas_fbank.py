@@ -28,3 +28,21 @@ def test_fbank_fused_matches_reference():
 def test_frontend_auto_flag_off_on_cpu():
     fe = AudioFrontend({"feat_type": "fbank", "feat_dim": 40})
     assert fe.use_pallas is False  # tests run on the CPU backend
+
+
+def test_fbank_fused_sub_unaligned_length():
+    """Regression: waveform lengths where S + n_fft already covers the last
+    tile but is not a multiple of the 80-sample subchunk used to crash the
+    (B, n_sub, 80) reshape (e.g. S = 20390: T = 128 is TILE_T-aligned so no
+    tail pad was added, yet 20790 % 80 = 70). The padded length must round
+    up to whole subchunks; features must match the jnp path."""
+    fe = AudioFrontend({"feat_type": "fbank", "feat_dim": 40, "cmvn": False,
+                        "delta_order": 0, "use_pallas": False})
+    rng = np.random.RandomState(1)
+    S = 20390
+    wave = jnp.asarray(rng.randn(1, S).astype(np.float32) * 0.1)
+    ref, _ = fe(wave, jnp.full((1,), S, jnp.int32))
+    got = fbank_fused(wave, fe._cos, fe._msin, fe._mel, interpret=True)
+    T = S // 160 + 1
+    np.testing.assert_allclose(np.asarray(got)[:, :T], np.asarray(ref)[:, :T],
+                               rtol=1e-4, atol=1e-4)
