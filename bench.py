@@ -63,8 +63,10 @@ def make_waves(n, secs=SECS, sr=16000, seed=SEED):
 
 def main():
     import jax
+    # one shared persistent cache across every entry point (main.py,
+    # bench_vocab.py, transcribe.py all use ~/.cache/jax_asr)
     jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).parent / ".jax_cache"))
+                      str(Path.home() / ".cache" / "jax_asr"))
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
     from end_to_end_asr_pytorch_tpu.models.lm import RNNLM

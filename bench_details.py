@@ -32,8 +32,10 @@ V5E_PEAK_BF16 = 197e12  # TFLOP/s, one v5e chip
 
 def main():
     import jax
+    # one shared persistent cache across every entry point (main.py,
+    # bench_vocab.py, transcribe.py all use ~/.cache/jax_asr)
     jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).parent / ".jax_cache"))
+                      str(Path.home() / ".cache" / "jax_asr"))
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
     from end_to_end_asr_pytorch_tpu.models.lm import RNNLM

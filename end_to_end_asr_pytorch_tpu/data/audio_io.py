@@ -50,7 +50,12 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         else:
             raise ValueError(f"unsupported PCM bits: {bits}")
     elif audio_fmt == 3:  # IEEE float
-        x = np.frombuffer(wave, "<f4").astype(np.float32)
+        if bits == 32:
+            x = np.frombuffer(wave, "<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(wave, "<f8").astype(np.float32)
+        else:  # never reinterpret at the wrong width (silent garbage)
+            raise ValueError(f"unsupported float WAV bits: {bits}")
     else:
         raise ValueError(f"unsupported WAV format code: {audio_fmt}")
     if n_ch > 1:

@@ -18,8 +18,7 @@ TPU-first differences from the reference's DataLoader design:
 """
 from __future__ import annotations
 
-import queue
-import threading
+import itertools
 from collections import OrderedDict
 from typing import Any, Dict, Iterator, List, Optional
 
@@ -38,25 +37,32 @@ class LRUWaveCache:
     """
 
     def __init__(self, max_bytes: int):
+        import threading
         self.max_bytes = int(max_bytes)
         self._items: "OrderedDict[int, np.ndarray]" = OrderedDict()
         self.nbytes = 0
+        # the loader's n_jobs>1 assembly pool hits the cache concurrently;
+        # the recency/eviction bookkeeping is a multi-op sequence that the
+        # GIL alone does not make atomic
+        self._lock = threading.Lock()
 
     def get(self, key: int) -> Optional[np.ndarray]:
-        w = self._items.get(key)
-        if w is not None:
-            self._items.move_to_end(key)
-        return w
+        with self._lock:
+            w = self._items.get(key)
+            if w is not None:
+                self._items.move_to_end(key)
+            return w
 
     def put(self, key: int, wave: np.ndarray) -> None:
         nb = wave.nbytes
-        if nb > self.max_bytes or key in self._items:
-            return
-        while self.nbytes + nb > self.max_bytes and self._items:
-            _, old = self._items.popitem(last=False)
-            self.nbytes -= old.nbytes
-        self._items[key] = wave
-        self.nbytes += nb
+        with self._lock:
+            if nb > self.max_bytes or key in self._items:
+                return
+            while self.nbytes + nb > self.max_bytes and self._items:
+                _, old = self._items.popitem(last=False)
+                self.nbytes -= old.nbytes
+            self._items[key] = wave
+            self.nbytes += nb
 
     def __len__(self):
         return len(self._items)
@@ -168,8 +174,16 @@ class AudioBatchLoader:
                    ) -> Iterator[Dict[str, Any]]:
         """One epoch; shuffle=False yields length-ascending order (curriculum,
         reference SURVEY.md 2.4). With n_jobs > 0, batches are assembled by a
-        background thread so audio decode overlaps device compute (the TPU
-        analog of the reference's DataLoader worker processes)."""
+        pool of n_jobs threads so audio decode overlaps device compute AND
+        scales across host cores (the native FLAC decoder releases the GIL) —
+        the TPU analog of the reference's DataLoader worker processes.
+
+        Windowed in-order delivery over a ThreadPoolExecutor: up to
+        2*n_jobs batches are in flight; .result() propagates worker
+        exceptions; abandoning the epoch early (the max_step break) closes
+        the generator, which cancels pending work and shuts the pool down —
+        the same cancellation contract prefetch_to_device keeps for its
+        device-transfer thread."""
         order = list(range(len(self.batches)))
         if self.shuffle if shuffle is None else shuffle:
             self.rng.shuffle(order)
@@ -177,57 +191,26 @@ class AudioBatchLoader:
             for bi in order:
                 yield self.make_batch(self.batches[bi])
             return
-        q: "queue.Queue" = queue.Queue(maxsize=max(2, self.n_jobs * 2))
-        stop = object()
-        cancel = threading.Event()
-        error: list = []
-
-        def worker():
-            # same cancellation contract as parallel/mesh.prefetch_to_device:
-            # a consumer that abandons the epoch early (max_step break) must
-            # not leave this thread blocked forever on q.put pinning
-            # assembled batches; errors propagate instead of silently
-            # truncating the epoch
-            try:
-                for bi in order:
-                    if cancel.is_set():
-                        return
-                    item = self.make_batch(self.batches[bi])
-                    while not cancel.is_set():
-                        try:
-                            q.put(item, timeout=0.2)
-                            break
-                        except queue.Full:
-                            continue
-            except BaseException as e:
-                error.append(e)
-            finally:
-                # the stop sentinel MUST land (a dropped sentinel deadlocks
-                # the consumer on q.get) — block for it, but stay cancellable
-                while not cancel.is_set():
-                    try:
-                        q.put(stop, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        window = max(2, 2 * self.n_jobs)
+        ex = ThreadPoolExecutor(max_workers=self.n_jobs)
+        futs: "deque" = deque()
+        it = iter(order)
         try:
-            while True:
-                item = q.get()
-                if item is stop:
-                    if error:
-                        raise error[0]
-                    break
+            for bi in itertools.islice(it, window):
+                futs.append(ex.submit(self.make_batch, self.batches[bi]))
+            while futs:
+                item = futs.popleft().result()  # raises worker exceptions
+                nxt = next(it, None)
+                if nxt is not None:
+                    futs.append(ex.submit(self.make_batch,
+                                          self.batches[nxt]))
                 yield item
         finally:
-            cancel.set()
-            while True:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
+            while futs:
+                futs.popleft().cancel()
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         return self.epoch_iter()
@@ -310,12 +293,13 @@ def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
                                   shuffle=False, cache_bytes=cache_bytes)
         dv_set = AudioBatchLoader(tt_ds, bs, frame_quantum=frame_quantum,
                                   shuffle=False, cache_bytes=cache_bytes)
+    a_name, b_name = ("train", "dev") if mode == "train" else ("dev", "test")
     msg = [
         f"I/O spec  | audio feat = {audio.get('feat_type', 'fbank')} "
         f"(dim {feat_dim}) | tokenizer = {text['mode']} "
         f"(vocab {tokenizer.vocab_size})",
         f"Corpus    | {corpus.get('name')} at {corpus['path']} | "
-        f"train {len(tr_set.ds)} utts / dev {len(dv_set.ds)} utts | "
+        f"{a_name} {len(tr_set.ds)} utts / {b_name} {len(dv_set.ds)} utts | "
         f"batch {bs}",
     ]
     return tr_set, dv_set, feat_dim, tokenizer.vocab_size, tokenizer, msg

@@ -351,8 +351,14 @@ class BeamDecoder:
                 carry["valid"],
                 jnp.logical_or(n_tok + 1 >= min_len[:, None],
                                n_tok + 1 >= max_len[:, None]))
-            tot_eos = jnp.where(eos_ok, tot_eos, NEG_INF)
-            norm_eos = tot_eos / jnp.maximum(n_tok + 1, 1).astype(jnp.float32)
+            # mask AFTER normalizing: NEG_INF/(t+1) would rank ABOVE the
+            # finished-set NEG_INF placeholders and admit masked slots as
+            # garbage n-best rows whenever fewer than K real finalizations
+            # occur (tests/test_beam.py::test_unfilled_finished_slots...)
+            norm_eos = jnp.where(
+                eos_ok,
+                tot_eos / jnp.maximum(n_tok + 1, 1).astype(jnp.float32),
+                NEG_INF)
 
             # merge into finished set (keep top-K by normalized score);
             # a finished hypothesis is (score, step<<8|slot) — its length is

@@ -245,7 +245,12 @@ class Solver(BaseSolver):
         rng_base = jax.random.PRNGKey(self.paras.seed + 1)
         step_dev = jnp.asarray(self.step, jnp.int32)   # device step counter
         epoch = 0
-        t0 = time.time()
+        # marginal (interval) throughput: count utts/time since the LAST
+        # progress print, resetting after validation — a lifetime average
+        # would fold eval, checkpoint and compile time into every number
+        # and make step-time optimizations unmeasurable from the logs
+        last_t = time.time()
+        last_u = 0
         utts = 0
         while self.step < self.max_step:
             shuffle = epoch >= self.curriculum
@@ -261,19 +266,22 @@ class Solver(BaseSolver):
                 if self.step % self.PROGRESS_STEP == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     tf_rate = m.get("tf_rate", self.tf_start)
-                    dt = time.time() - t0
+                    now = time.time()
+                    rate = (utts - last_u) / max(now - last_t, 1e-9)
+                    last_t, last_u = now, utts
                     self.progress(
                         f"loss {m.get('loss', 0):.3f} | "
                         f"ctc {m.get('ctc_loss', float('nan')):.3f} | "
                         f"att {m.get('att_loss', float('nan')):.3f} | "
                         f"grad {m.get('grad_norm', 0):.2f} | "
-                        f"tf {tf_rate:.2f} | {utts / dt:.1f} utt/s")
+                        f"tf {tf_rate:.2f} | {rate:.1f} utt/s")
                     self.write_log("loss", {"tr_" + k: v for k, v in m.items()
                                             if "loss" in k})
-                    self.write_log("speed", {"utts_per_sec": utts / dt})
+                    self.write_log("speed", {"utts_per_sec": rate})
                     self.write_log("tf_rate", {"tf": tf_rate})
                 if self.step % self.valid_step == 0:
                     self.validate()
+                    last_t, last_u = time.time(), utts
                 if self.step >= self.max_step:
                     break
             epoch += 1

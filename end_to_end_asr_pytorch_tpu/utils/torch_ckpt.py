@@ -273,9 +273,15 @@ def translate_asr_state_dict(sd: Dict[str, Any], template) -> Any:
 def _translate_attention(res: KeyResolver, t_att):
     from ..models.attention import AttentionParams
     # prefer an explicit attention module path when one exists (keeps the
-    # generic 'bias' suffix from matching unrelated module biases)
-    sc = "attention" if any(k.startswith("attention.")
-                            for k in res.sd) else ""
+    # generic 'bias' suffix from matching unrelated module biases) — the
+    # module may be nested (e.g. 'decoder.attention.bias'), so scope to
+    # the full prefix up to and including 'attention.'
+    sc = ""
+    for k in res.sd:
+        i = k.find("attention.")
+        if i == 0 or (i > 0 and k[i - 1] == "."):
+            sc = k[:i + len("attention.")]
+            break
     w_q = jnp.asarray(res.find(
         ["proj_q.weight", "query_proj.weight", "q_proj.weight"],
         shape=t_att.w_q.shape[::-1], scope=sc).T)
@@ -305,9 +311,14 @@ def _translate_attention(res: KeyResolver, t_att):
         w_f = jnp.asarray(res.find(
             ["loc_proj.weight", "loc_linear.weight"],
             shape=t_att.w_f.shape[::-1], scope=sc).T)
+        # the bare 'bias' suffix is only safe under an attention scope: an
+        # unscoped scan would bind the FIRST same-shaped '.bias' of ANY
+        # module (silent wrong weights). Without a scope, require an
+        # attention-specific name and fail loudly otherwise.
+        bias_sufs = (["att_bias", "loc_bias", "bias"] if sc
+                     else ["att_bias", "loc_bias"])
         bias = jnp.asarray(res.find(
-            ["att_bias", "loc_bias", "bias"], shape=t_att.bias.shape,
-            scope=sc))
+            bias_sufs, shape=t_att.bias.shape, scope=sc))
         v = res.find(["gen_energy.weight", "v_energy.weight",
                       "energy.weight"], numel=t_att.v_energy.size,
                      scope=sc)

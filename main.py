@@ -6,7 +6,7 @@ dispatch to three solvers (train ASR / train LM / test), YAML-config-driven.
 
   python main.py --config config/libri/asr_example.yaml            # train ASR
   python main.py --config config/libri/lm_example.yaml --lm        # train LM
-  python main.py --config config/libri/decode_example.yaml --test  # decode
+  python main.py --config config/libri/asr_example.yaml --test     # decode
 
 TPU notes: ``--cpu`` forces the CPU backend (useful with
 XLA_FLAGS=--xla_force_host_platform_device_count=8 for a virtual mesh);
@@ -62,12 +62,14 @@ def setup_backend(cpu: bool) -> None:
 
 def main(argv=None):
     paras = build_parser().parse_args(argv)
-    setup_backend(paras.cpu)
     # persistent XLA compilation cache: resumes and repeated runs skip the
-    # (tens of seconds per bucket shape) compile cost
+    # (tens of seconds per bucket shape) compile cost. Must be set BEFORE
+    # the first `import jax` anywhere — jax reads the env var at import
+    # time, and setup_backend(--cpu) imports jax.
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         str(Path.home() / ".cache" / "jax_asr"))
+    setup_backend(paras.cpu)
 
     import numpy as np
     random.seed(paras.seed)

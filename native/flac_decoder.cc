@@ -51,6 +51,12 @@ class BitReader {
 
   void align_byte() { bit_ = 0; }
 
+  void seek(size_t byte) {  // reposition to a byte boundary
+    if (byte > size_) { error_ = true; return; }
+    pos_ = byte;
+    bit_ = 0;
+  }
+
   int read_bit() {
     if (bit_ == 0) {
       if (pos_ >= size_) {
@@ -207,8 +213,12 @@ int flac_decode(const char* path, float** out, int64_t* out_n,
       sr = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4);
       channels = ((si[12] >> 1) & 0x7) + 1;
       bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1;
-      total_samples = ((uint64_t)(si[13] & 0xF) << 32) | (si[14] << 24)
-                      | (si[15] << 16) | (si[16] << 8) | si[17];
+      // cast every byte before shifting: si[14] << 24 as a signed int
+      // goes negative for byte values >= 0x80 and would sign-extend
+      // through the uint64 OR (total_samples ~1.8e19 -> bad_alloc)
+      total_samples = ((uint64_t)(si[13] & 0xF) << 32)
+                      | ((uint64_t)si[14] << 24) | ((uint64_t)si[15] << 16)
+                      | ((uint64_t)si[16] << 8) | (uint64_t)si[17];
     }
     pos += blen;
   }
@@ -222,11 +232,18 @@ int flac_decode(const char* path, float** out, int64_t* out_n,
   const float scale = 1.0f / (float)(1u << (bps - 1));
 
   while (br.ok()) {
-    // find frame sync (aligned on byte boundary)
+    // find frame sync (aligned on byte boundary). On mismatch, rescan
+    // from the NEXT byte: the naive align-and-continue advanced 2 bytes
+    // per attempt (14-bit read + byte realign) and could step over every
+    // odd-offset sync code forever, silently truncating the audio.
     br.align_byte();
+    size_t sync_start = br.byte_pos();
     uint32_t sync = br.read_bits(14);
     if (!br.ok()) break;
-    if (sync != 0x3FFE) continue;  // resync scan
+    if (sync != 0x3FFE) {  // resync scan, 1-byte stride
+      br.seek(sync_start + 1);
+      continue;
+    }
     br.read_bits(1);                        // reserved
     br.read_bits(1);                        // blocking strategy
     uint32_t bs_code = br.read_bits(4);

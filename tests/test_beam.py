@@ -197,3 +197,26 @@ def test_candidate_mode_covering_all_tokens_matches_full_vocab():
                                   np.asarray(cand.lengths))
     np.testing.assert_allclose(np.asarray(full.scores),
                                np.asarray(cand.scores), rtol=1e-5)
+
+
+def test_unfilled_finished_slots_stay_neg_inf():
+    """Regression: masked (eos_ok=False / dead-slot) finalization scores
+    were NEG_INF *before* length normalization, so NEG_INF/(t+1) ranked
+    above the finished-set NEG_INF placeholders and garbage rows filled
+    the n-best whenever fewer than K real finalizations existed. With
+    V=5 (3 continuation tokens) and max_len=2 only 1+3+9=13 real
+    finalizations can ever occur; the remaining beam_size-13 slots must
+    keep the NEG_INF sentinel and zero-length token rows."""
+    model, params = _model(ctc_weight=0.5)
+    dec = BeamDecoder(model, {"beam_size": 16, "min_len_ratio": 0.0,
+                              "max_len_ratio": 0.5, "ctc_weight": 0.4})
+    out = dec.forward(params, _feat(B=2, seed=3),
+                      jnp.array([T_ENC, T_ENC]))
+    scores = np.asarray(out.scores)
+    lengths = np.asarray(out.lengths)
+    real = scores > -1e29
+    assert real.sum(axis=1).max() <= 13
+    assert real[:, 0].all(), "top-1 must be a real hypothesis"
+    # unfilled slots: sentinel score, zero-length backtrace
+    assert np.all(lengths[~real] == 0)
+    assert np.all(np.asarray(out.tokens)[~real] == 0)

@@ -25,9 +25,14 @@ def collect_files(paths):
     out = []
     for p in map(Path, paths):
         if p.is_dir():
-            out.extend(sorted(q for q in p.rglob("*") if q.suffix in exts))
-        elif p.suffix in exts:
+            out.extend(sorted(q for q in p.rglob("*")
+                              if q.suffix.lower() in exts))
+        elif p.suffix.lower() in exts:
             out.append(p)
+        else:
+            # an explicitly-named file must never be dropped silently
+            print(f"warning: skipping {p} (unsupported suffix)",
+                  file=sys.stderr)
     return out
 
 
@@ -42,11 +47,16 @@ def main():
     ap.add_argument("--output", default=None, help="TSV output (default stdout)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
-    if args.cpu:
-        import os
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
+    import os
+    # one shared persistent compile cache across every entry point (env var
+    # must be set BEFORE jax is imported — jax reads it at import time)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          str(Path.home() / ".cache" / "jax_asr"))
     import jax
+    if args.cpu:
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; only the
+        # config route works (same as main.py setup_backend)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.config import load_config
     from end_to_end_asr_pytorch_tpu.data.audio_io import load_audio
@@ -65,7 +75,6 @@ def main():
     params = load_checkpoint(args.load, params)["model"]
 
     decode_cfg = dict(cfg.get("decode", {}))
-    decode_cfg.setdefault("lm_weight", 0.0)
     decode_cfg["lm_weight"] = 0.0  # LM fusion via main.py --test; keep simple
     if args.beam:
         decode_cfg["beam_size"] = args.beam
@@ -89,8 +98,17 @@ def main():
     audio_secs = 0.0
     for i in range(0, len(files), args.batch):
         chunk = files[i:i + args.batch]
-        waves = [load_audio(str(f))[0] for f in chunk]
-        audio_secs += sum(len(w) for w in waves) / 16000.0
+        waves = []
+        sr_expect = frontend.sample_rate
+        for f in chunk:
+            w, sr = load_audio(str(f))
+            if sr != sr_expect:
+                sys.exit(f"{f}: sample rate {sr} != the model's configured "
+                         f"{sr_expect} Hz — resample the audio first "
+                         "(silently framing at the wrong rate would produce "
+                         "confidently wrong transcripts)")
+            waves.append(w)
+        audio_secs += sum(len(w) for w in waves) / float(sr_expect)
         s_max = max(len(w) for w in waves)
         t_pad = ((s_max // 160 + 1 + 63) // 64) * 64
         s_pad = max((t_pad - 1) * 160, s_max)
