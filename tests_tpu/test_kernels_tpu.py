@@ -298,3 +298,34 @@ def test_psi_fused_compiled():
     mask = refn > ctc_prefix.NEG_INF / 2
     np.testing.assert_allclose(gotn[mask], refn[mask], rtol=2e-5, atol=2e-5)
     assert np.all(gotn[:, :, 0] == ctc_prefix.NEG_INF)
+
+
+def test_psi_int8_compiled():
+    """int8-quantized psi matmul compiled on the real chip (the s8xs8 MXU
+    path XLA lowers the einsum to): competitive candidates must track the
+    bf16 einsum within the documented quantization error law, and
+    below-resolution candidates must map to NEG_INF."""
+    from end_to_end_asr_pytorch_tpu.ops import ctc_prefix
+    Bb, K, Tt, V = 16, 8, 112, 1024
+    rng = np.random.RandomState(3)
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(Bb, Tt, V) * 4.0, jnp.float32), -1)
+    lp = ctc_prefix.pad_ctc_log_probs(lp, jnp.full((Bb,), Tt - 9, jnp.int32))
+    r, _ = ctc_prefix.init_state(lp, K)
+    last = jnp.asarray(rng.randint(1, V, (Bb, K)), jnp.int32)
+    plen = jnp.ones((Bb, K), jnp.int32)
+    probs_f = jnp.exp(lp)
+    probs = probs_f.astype(jnp.bfloat16)
+    q8 = jnp.clip(jnp.round(probs_f * 127.0), 0.0, 127.0).astype(jnp.int8)
+    ref, _ = jax.jit(lambda: ctc_prefix.score_candidates(
+        None, r, last, plen, with_state=False, probs=probs))()
+    got, _ = jax.jit(lambda: ctc_prefix.score_candidates(
+        None, r, last, plen, with_state=False, probs=probs,
+        probs_q8=q8))()
+    refn, gotn = np.asarray(ref), np.asarray(got)
+    best = refn.max(-1, keepdims=True)
+    dead = gotn <= ctc_prefix.NEG_INF / 2
+    assert not (dead & (refn >= best - 4.0)).any()
+    m = (refn >= best - 2.0) & ~dead
+    # bf16 einsum reference itself carries ~1e-2 rounding; combined bound
+    assert np.abs(gotn - refn)[m].max() < 0.06
