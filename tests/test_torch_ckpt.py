@@ -230,3 +230,25 @@ def test_cli_decode_from_torch_checkpoint(tmp_path):
             (tmp_path / name / "out" / "mig_sd0" / "test_output.csv")
             .read_bytes())
     assert outs[0] == outs[1]
+
+
+def test_nested_attention_scope_and_decoy_bias():
+    """Regression for the bias-binding rule: with the attention module
+    nested (e.g. 'dec.attention.*') and a DECOY '.bias' of the identical
+    shape appearing EARLIER in the state_dict, the importer must still
+    bind the attention bias from inside the attention scope — the old
+    flat-scope detection fell back to an unscoped scan that bound the
+    first same-shaped bias it saw."""
+    model = ASR(6, 8, CFG_FULL)
+    params = model.init(jax.random.PRNGKey(5))
+    sd = export_asr_state_dict(params)
+    # nest every attention key under 'dec.' and prepend a same-shaped decoy
+    nested = OrderedDict()
+    bias_shape = np.asarray(params.attention.bias).shape
+    nested["frontend_proj.bias"] = t(np.full(bias_shape, 123.0, np.float32))
+    for k, v in sd.items():
+        nested["dec." + k if k.startswith("attention.") else k] = v
+    got = translate_asr_state_dict(nested, model.init(jax.random.PRNGKey(6)))
+    np.testing.assert_allclose(np.asarray(got.attention.bias),
+                               np.asarray(params.attention.bias))
+    assert not np.allclose(np.asarray(got.attention.bias), 123.0)
