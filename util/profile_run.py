@@ -90,7 +90,6 @@ def main():
 
         fn0 = jax.jit(train_step, donate_argnums=(0, 1))
         key = jax.random.PRNGKey(2)
-        fn = lambda: None  # placeholder
 
         # warmup/compile
         params2, opt_state2, loss = fn0(params, opt_state, w, wl, text,
