@@ -139,6 +139,13 @@ class BeamDecoder:
         self.psi_quant = pq or False
         if self.psi_quant:       # mutually exclusive phase-1 psi overrides
             self.psi_pallas = False
+        # approximate continuation top-k (opt-in, large-V lever): False, or
+        # a recall target in (0, 1] passed to lax.approx_max_k
+        at = decode_cfg.get("approx_topk", False)
+        if at not in (False, None) and not (0.0 < float(at) <= 1.0):
+            raise ValueError(
+                f"approx_topk must be False or a recall in (0, 1], got {at!r}")
+        self.approx_topk = float(at) if at else False
         # log-softmax normalizer folding: 'auto' = amp and V >= 1024 (see
         # the fold_lse comment in forward); True / False force it
         self.fold_logp = decode_cfg.get("fold_logp", "auto")
@@ -419,7 +426,19 @@ class BeamDecoder:
             # at V=5120 (163 -> 644 ms/batch, round 3): lax.top_k over the
             # rank-3 row layout lowers far worse than one flat (K*V) scan.
             flat = tot.reshape(B, K * nC)
-            top_tot, top_idx = jax.lax.top_k(flat, K)           # (B, K)
+            if self.approx_topk:
+                # opt-in approximate beam pruning (large-V lever): TPU's
+                # PartialReduce unit scans the flat row once at the given
+                # recall target instead of exact-sorting K*V entries. The
+                # SELECTED hypotheses keep their exact scores (only
+                # membership is approximate: a true top-K entry is missed
+                # with prob <= 1-recall per step); exact top_k elsewhere
+                # (finished set, candidate restriction). CPU lowering is
+                # exact, so parity tests pin the wiring deterministically.
+                top_tot, top_idx = jax.lax.approx_max_k(
+                    flat, K, recall_target=self.approx_topk)
+            else:
+                top_tot, top_idx = jax.lax.top_k(flat, K)       # (B, K)
             new_valid = top_tot > NEG_INF / 2
             k_idx = top_idx // nC
             c_idx = top_idx % nC

@@ -220,3 +220,29 @@ def test_unfilled_finished_slots_stay_neg_inf():
     # unfilled slots: sentinel score, zero-length backtrace
     assert np.all(lengths[~real] == 0)
     assert np.all(np.asarray(out.tokens)[~real] == 0)
+
+
+def test_approx_topk_wiring_matches_exact_on_cpu():
+    """approx_topk is an opt-in large-V pruning knob; the CPU lowering of
+    lax.approx_max_k is exact, so on this backend the full BeamOutput must
+    be identical to the exact decoder — pinning the index/value wiring
+    (k_idx/c_idx/psi gathers) deterministically. The recall<1 behavior is
+    a TPU-only property measured on-chip."""
+    model, params = _model(ctc_weight=0.5)
+    feat = _feat(B=2, seed=9)
+    flen = jnp.array([T_ENC, T_ENC - 1])
+    cfg = {"beam_size": 4, "min_len_ratio": 0.0, "max_len_ratio": 1.0,
+           "ctc_weight": 0.4, "lm_weight": 0.0}
+    a = BeamDecoder(model, cfg).forward(params, feat, flen)
+    b = BeamDecoder(model, dict(cfg, approx_topk=0.95)).forward(
+        params, feat, flen)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.lengths),
+                                  np.asarray(b.lengths))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+
+
+def test_approx_topk_rejects_bad_value():
+    model, params = _model()
+    with pytest.raises(ValueError):
+        BeamDecoder(model, {"beam_size": 2, "approx_topk": 1.5})
