@@ -164,7 +164,16 @@ class BeamDecoder:
         # benches with random weights never trigger it (margins stay ~0);
         # trained-model decode exits as soon as transcripts end.
         es = decode_cfg.get("early_stop", "auto")
-        self.early_stop = True if es == "auto" else bool(es)
+        if es == "auto":
+            # psi_quant breaks the bound's premise: the carried quantized
+            # psi can UNDERESTIMATE a weak hypothesis's exact finalization
+            # score by more than the slack (its eos score uses the exact
+            # phase-2 ctc_eos), so the 'exact early exit' would no longer
+            # be exact. Compose conservatively; forcing early_stop=True
+            # alongside psi_quant is allowed but documented-approximate.
+            self.early_stop = not self.psi_quant
+        else:
+            self.early_stop = bool(es)
         self.early_stop_slack = float(decode_cfg.get("early_stop_slack",
                                                      0.05))
         self._last_steps = None  # eager-mode debug/test hook
@@ -247,8 +256,7 @@ class BeamDecoder:
             # loop-invariant companion; the bf16 ctc_probs stays live for
             # the exact psi_same/p_last lane gathers)
             ctc_probs_q8 = (
-                jnp.clip(jnp.round(jnp.exp(ctc_lp) * 127.0), 0.0, 127.0)
-                .astype(jnp.int8)
+                ctc_prefix.quantize_probs_q8(jnp.exp(ctc_lp))
                 if (self.amp and self.psi_quant == "int8") else None)
             # Pallas psi only where it applies: amp probs, blockable vocab
             from ..ops.pallas.psi_kernel import pick_block

@@ -53,6 +53,13 @@ def init_state(ctc_lp: jnp.ndarray, beam: int, blank: int = 0
 CLIP = -1e5  # 'effectively impossible' floor that keeps cumsums finite
 
 
+def quantize_probs_q8(probs: jnp.ndarray) -> jnp.ndarray:
+    """Quantize probabilities in [0, 1] to int8 with the scale the q8 psi
+    matmul inverts (round(p * 127); see the probs_q8 branch below). The
+    single definition keeps the producer (beam.py) and consumer in sync."""
+    return jnp.clip(jnp.round(probs * 127.0), 0.0, 127.0).astype(jnp.int8)
+
+
 def _cumlogsumexp(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Inclusive cumulative logsumexp via Hillis-Steele doubling:
     ceil(log2 T) shifted logaddexp passes. jax.lax.cumlogsumexp lowers to a
@@ -155,17 +162,9 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
         C = cand_ids.shape[-1]
         cand = cand_ids
 
-    # phi(t) = r_b(t|g) + [c != last] r_nb(t|g) : (B, K, C, T)
     r_nb_prev = r_prev[..., 0]                             # (B, K, T)
     r_b_prev = r_prev[..., 1]
-    same = cand == last_tok[..., None]                     # (B, K, C)
-    # c == last: only blank-terminated paths may extend; else both.
-    phi = jnp.where(
-        same[..., None], r_b_prev[:, :, None, :],
-        jnp.logaddexp(r_b_prev, r_nb_prev)[:, :, None, :])  # (B,K,C,T)
-
     empty = (prefix_len == 0)[..., None]                   # (B, K, 1)
-    phi_m1 = jnp.broadcast_to(jnp.where(empty, 0.0, NEG_INF), (B, K, C))
 
     if not with_state:
         # -------- psi-only fast path: log-semiring matmul on the MXU ------
@@ -246,20 +245,24 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
             # quantization-step accurate for candidates whose mass rides
             # the dominant weight steps (measured <0.03 nats within 2 nats
             # of the per-hypothesis best, <0.15 within 3; candidates >4-5
-            # nats back can degrade arbitrarily, incl. to NEG_INF below).
+            # nats back can degrade toward the md-69 floor below).
             # Halves the einsum's HBM reads vs bf16, doubles MXU s8 rate.
             qw = jnp.clip(jnp.round(wd * 127.0), 0.0, 127.0
                           ).astype(jnp.int8)
             acc = jnp.einsum("bkt,btv->bkv", qw, probs_q8,
                              preferred_element_type=jnp.int32)
             # acc == 0 means the weighted emission mass is below the
-            # quantization resolution (~1/127^2): mark impossible (NEG_INF,
-            # the same convention as the blank mask) rather than log(eps) —
-            # a subnormal eps flushes to zero in f32 and a normal one would
-            # place all dead candidates at an arbitrary md-relative floor.
+            # quantization resolution (~1/127^2): floor at md - 69 nats
+            # (log 1e-30) — the same CLASS of finite floor the exact path
+            # has (md + log 1e-38 when the einsum underflows), and never
+            # more than ~59 nats behind the row's best candidate (whose
+            # acc >= 1 gives psi >= md - 9.7). A NEG_INF here instead was
+            # a live bug: a selected NEG_INF-psi candidate survives the
+            # validity threshold when cw < 0.5, and the base recovery
+            # top_tot - cw*psi then cancels catastrophically to ~0.0,
+            # minting a score-0 garbage hypothesis that hijacks the beam.
             accf = acc.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
-            psi_diff = jnp.where(
-                acc > 0, md + jnp.log(jnp.maximum(accf, 1e-30)), NEG_INF)
+            psi_diff = md + jnp.log(jnp.maximum(accf, 1e-30))
         else:
             # match the small operand's dtype to probs: a mixed f32 x bf16
             # einsum upconverts the (B,T,V) operand to f32 (a 2x-sized
@@ -276,6 +279,17 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
         if cand_ids is not None:
             return jnp.take_along_axis(psi_full, cand, axis=2), None
         return psi_full, None
+
+    # ---------------- with_state path: build the (B, K, C, T) tensors the
+    # psi-only fast paths above never need (and which eager psi-only
+    # callers would otherwise materialize for nothing)
+    # phi(t) = r_b(t|g) + [c != last] r_nb(t|g) : (B, K, C, T)
+    same = cand == last_tok[..., None]                     # (B, K, C)
+    # c == last: only blank-terminated paths may extend; else both.
+    phi = jnp.where(
+        same[..., None], r_b_prev[:, :, None, :],
+        jnp.logaddexp(r_b_prev, r_nb_prev)[:, :, None, :])  # (B,K,C,T)
+    phi_m1 = jnp.broadcast_to(jnp.where(empty, 0.0, NEG_INF), (B, K, C))
 
     # per-candidate emission log-probs over time: xs (B, K, C, T)
     if cand_ids is None:
@@ -311,10 +325,6 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
     # psi = logsumexp_t [ phi(t-1) + xs(t) ]  — pure reduction
     psi = jax.nn.logsumexp(phi_s + xs, axis=-1)
     psi = jnp.where(cand == blank, NEG_INF, psi)
-    if not with_state:
-        # two-phase beam usage: selection needs only psi for all candidates;
-        # the r state is recomputed afterwards for the K winners alone
-        return psi, None
 
     # r_nb = Scum + cumlogsumexp(phi(t-1) - Scum(t-1))
     scum = _cumsum(xs, 3)
@@ -335,9 +345,13 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
     return psi, r_new
 
 
-def final_score(r_prev: jnp.ndarray, prefix_len: jnp.ndarray) -> jnp.ndarray:
+def final_score(r_prev: jnp.ndarray, prefix_len: jnp.ndarray = None
+                ) -> jnp.ndarray:
     """CTC log-prob of each prefix as a COMPLETE sequence (used for <eos>):
     logsumexp of both states at the last frame. Empty prefix scores its
-    all-blank path (r_b at T-1). (B, K)."""
+    all-blank path (r_b at T-1) via the same expression, so the result is
+    length-independent — ``prefix_len`` is accepted for call-site symmetry
+    with score_candidates and ignored. (B, K)."""
+    del prefix_len
     last = jnp.logaddexp(r_prev[..., -1, 0], r_prev[..., -1, 1])
     return last

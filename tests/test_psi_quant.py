@@ -25,8 +25,9 @@ from end_to_end_asr_pytorch_tpu.models.asr import ASR
 from end_to_end_asr_pytorch_tpu.decode.beam import BeamDecoder
 
 
-def _quantize(probs):
-    return jnp.clip(jnp.round(probs * 127.0), 0.0, 127.0).astype(jnp.int8)
+# the SAME helper the beam decoder uses to build the operand — pins the
+# producer/consumer quantization convention together
+_quantize = ctc_prefix.quantize_probs_q8
 
 
 @pytest.mark.parametrize("peak", [3.0, 6.0])
@@ -51,15 +52,22 @@ def test_psi_int8_tracks_exact(peak):
     pq = np.asarray(psi_q)
     assert not np.isnan(pq).any()
     best = pe.max(axis=-1, keepdims=True)
-    dead_q = pq <= ctc_prefix.NEG_INF / 2  # below quantization resolution
-    # no candidate near its hypothesis's best may be marked dead, and the
+    # below-resolution candidates sit on the finite md-69 floor, NEVER at
+    # a NEG_INF-class sentinel: a selected NEG_INF psi would survive the
+    # validity threshold at cw<0.5 and cancel catastrophically in the
+    # beam's base recovery (see the q8 branch comment)
+    nonblank = np.ones(pq.shape, bool)
+    nonblank[:, :, 0] = False
+    assert pq[nonblank].min() > -1e4
+    floored = pq <= pe - 1.0  # candidates clobbered toward the floor
+    # no candidate near its hypothesis's best may be floored, and the
     # error shrinks with competitiveness (the selection-relevant regime):
     # ~quantization-step-level within 2 nats of the best, degrading with
     # the gap (contributions from the weight tail below 1/254 of the
     # per-hypothesis max are dropped — see the q8 branch comment).
-    assert not (dead_q & (pe >= best - 4.0)).any()
+    assert not (floored & (pe >= best - 4.0)).any()
     for gap, tol in ((2.0, 0.03), (3.0, 0.15)):
-        m = (pe >= best - gap) & ~dead_q
+        m = (pe >= best - gap)
         err = np.abs(pq - pe)[m]
         assert err.max() < tol, (
             f"max quantized-psi error {err.max():.4f} within {gap} nats")
