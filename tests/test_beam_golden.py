@@ -4,8 +4,18 @@ optimizations against silent semantic drift (the enumeration tests in
 test_beam.py prove correctness at tiny sizes; this pins a larger case).
 
 If an INTENTIONAL semantic change lands (e.g. different length
-normalization), regenerate the constants with the snippet in this file's
-git history."""
+normalization), regenerate the constants by running the test's own setup
+and printing the new outputs — from the repo root:
+
+    python -c "
+    import tests.test_beam_golden as g
+    out = g._decode()
+    print([int(x) for x in out.tokens[0, 0, :out.lengths[0, 0]]])
+    print([int(x) for x in out.tokens[1, 0, :out.lengths[1, 0]]])
+    print([float(s) for s in out.scores[:, 0]])"
+
+(run under the CPU backend, e.g. via pytest's conftest or
+jax.config.update('jax_platforms', 'cpu'))."""
 import sys
 from pathlib import Path
 
@@ -23,7 +33,7 @@ GOLDEN_TOKENS_1 = [4, 11, 4, 11, 4, 11, 4]
 GOLDEN_SCORES = [-3.13307, -3.1004]
 
 
-def test_beam_golden_decode():
+def _decode():
     V = 12
     cfg = {"ctc_weight": 0.5,
            "encoder": {"prenet": "", "module": "LSTM", "bidirection": True,
@@ -41,8 +51,12 @@ def test_beam_golden_decode():
                               "lm_weight": 0.2}, lm=lm)
     rng = np.random.RandomState(7)
     feat = jnp.asarray(rng.randn(2, 20, 10), jnp.float32)
-    out = dec.forward(params, feat, jnp.array([20, 14]),
-                      lm_params=lm_params)
+    return dec.forward(params, feat, jnp.array([20, 14]),
+                       lm_params=lm_params)
+
+
+def test_beam_golden_decode():
+    out = _decode()
     assert out.tokens[0, 0, :out.lengths[0, 0]].tolist() == GOLDEN_TOKENS_0
     assert out.tokens[1, 0, :out.lengths[1, 0]].tolist() == GOLDEN_TOKENS_1
     np.testing.assert_allclose(np.asarray(out.scores[:, 0]), GOLDEN_SCORES,

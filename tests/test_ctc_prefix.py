@@ -40,12 +40,11 @@ def _brute_force(probs):
     return prefix, exact
 
 
-def _scores(probs, beam=1):
-    """Run the vectorized scorer over growing prefixes; returns helpers."""
+def _padded_lp(probs):
+    """(T, V) prob matrix -> padded (1, T, V) log-probs for the scorer."""
     T, V = probs.shape
     lp = jnp.log(jnp.asarray(probs))[None]           # (1, T, V)
-    lp = pad_ctc_log_probs(lp, jnp.array([T]))
-    return lp
+    return pad_ctc_log_probs(lp, jnp.array([T]))
 
 
 def test_prefix_scores_match_brute_force():
@@ -53,7 +52,7 @@ def test_prefix_scores_match_brute_force():
     T, V = 5, 3
     probs = rng.dirichlet(np.ones(V), size=T)        # (T, V) rows sum to 1
     pref_bf, exact_bf = _brute_force(probs)
-    lp = _scores(probs)
+    lp = _padded_lp(probs)
 
     # empty prefix, first extensions
     r, psi0 = init_state(lp, beam=1)
@@ -155,10 +154,11 @@ def test_candidate_gather_psi_matches_full_vocab():
     assert np.all(np.asarray(psi_cand)[:, :, 0] < -1e29)  # blank masked
 
 
-def test_row_gather_state_path_matches_onehot_and_companions():
+def test_candidate_state_paths_match_full_vocab_and_companions():
     """with_state candidate scoring must be identical whether xs comes from
-    the one-hot matmul (small V), the flat row-gather (large V / C>8), or
-    via the precomputed lp_vt/blank_lp companions with ctc_lp=None."""
+    the ctc_lp lane-gather path, the lp_vt row-gather fallback (precomputed
+    companions with ctc_lp=None), or the full-vocab scorer restricted
+    afterwards — the three with_state xs sources in score_candidates."""
     rng = np.random.RandomState(13)
     B, K, T, V = 2, 2, 7, 9
     lp = jax.nn.log_softmax(jnp.asarray(rng.randn(B, T, V)), -1)
@@ -166,9 +166,9 @@ def test_row_gather_state_path_matches_onehot_and_companions():
     r, _ = init_state(lp, K)
     last = jnp.asarray(rng.randint(1, V, (B, K)), jnp.int32)
     plen = jnp.ones((B, K), jnp.int32)
-    cand = jnp.asarray(rng.randint(1, V, (B, K, 9)), jnp.int32)  # C=9 > 8
+    cand = jnp.asarray(rng.randint(1, V, (B, K, 9)), jnp.int32)
 
-    # C=9 goes through the row-gather; reference = full-vocab then gather
+    # reference = full-vocab with_state scorer, then gather the candidates
     psi_all, r_all = score_candidates(lp, r, last, plen)
     psi_g, r_g = score_candidates(lp, r, last, plen, cand_ids=cand)
     np.testing.assert_allclose(

@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from end_to_end_asr_pytorch_tpu.models.asr import ASR
 from end_to_end_asr_pytorch_tpu.models.lm import RNNLM
 from end_to_end_asr_pytorch_tpu.ops.audio import (AudioFrontend, dct_matrix,
+                                                  delta_filter,
                                                   melscale_fbanks)
 
 torch.manual_seed(0)
@@ -57,7 +58,8 @@ def torch_frontend(wave: torch.Tensor, cfg: dict) -> torch.Tensor:
                       pad_mode="reflect", return_complex=True)
     power = (spec.abs() ** 2).transpose(1, 2)          # (B, T, bins)
     if feat_type in ("fbank", "mfcc"):
-        n_mels = feat_dim if feat_type == "fbank" else max(feat_dim, 40)
+        n_mels = (feat_dim if feat_type == "fbank"
+                  else int(cfg.get("n_mels", max(feat_dim, 40))))
         mel = t(melscale_fbanks(n_fft // 2 + 1, n_mels, sr))
         feat = torch.log(power @ mel + 1e-10)
         if feat_type == "mfcc":
@@ -70,8 +72,7 @@ def torch_frontend(wave: torch.Tensor, cfg: dict) -> torch.Tensor:
     order = int(cfg.get("delta_order", 0))
     w = int(cfg.get("delta_window_size", 2))
     if order > 0:
-        denom = 2.0 * sum(i * i for i in range(1, w + 1))
-        filt = torch.arange(-w, w + 1, dtype=torch.float32) / denom
+        filt = t(delta_filter(w))  # same helper policy as mel/DCT above
         outs, cur = [feat], feat
         D = feat.shape[-1]
         for _ in range(order):
@@ -297,7 +298,7 @@ def make_feat(B=2, T=128, audio_cfg=AUDIO, seed=0):
     wave = (rng.randn(B, S) * 0.1).astype(np.float32)
     fe = AudioFrontend(dict(audio_cfg, use_pallas=False))
     feat, feat_len = fe(jnp.asarray(wave), jnp.full((B,), S, jnp.int32))
-    return wave, np.asarray(feat), np.asarray(feat_len)
+    return np.asarray(feat), np.asarray(feat_len)
 
 
 # =====================================================================
@@ -335,7 +336,7 @@ def test_frontend_matches_torch(cfg):
      {"feat_type": "mfcc", "feat_dim": 13, "delta_order": 2, "cmvn": True}),
 ], ids=["pblstm512", "vgg", "cnn-gru", "lnproj-concat", "vgg-mfcc39"])
 def test_encoder_matches_torch(cfg, audio):
-    wave, feat, feat_len = make_feat(B=2, T=128, audio_cfg=audio)
+    feat, feat_len = make_feat(B=2, T=128, audio_cfg=audio)
     model = ASR(feat.shape[-1], V, cfg)
     params = model.init(jax.random.PRNGKey(0))
     enc, enc_len = model.encode(params, jnp.asarray(feat),
@@ -349,7 +350,7 @@ def test_encoder_matches_torch(cfg, audio):
 def test_ctc_head_matches_torch():
     """Config 2: CTC-only. Encoder + CTC log-softmax head + greedy path."""
     cfg = model_cfg(ctc_weight=1.0, dims=(256, 256), sample_rate=(2, 2))
-    wave, feat, feat_len = make_feat(B=2, T=128)
+    feat, feat_len = make_feat(B=2, T=128)
     model = ASR(feat.shape[-1], V, cfg)
     assert not model.enable_att
     params = model.init(jax.random.PRNGKey(1))
@@ -376,7 +377,7 @@ def test_ctc_head_matches_torch():
               att_dim=64, dec_dim=128),
 ], ids=["joint512-loc", "vgg-dot", "multihead4"])
 def test_teacher_forced_logits_match_torch(cfg):
-    wave, feat, feat_len = make_feat(B=2, T=128, seed=2)
+    feat, feat_len = make_feat(B=2, T=128, seed=2)
     model = ASR(feat.shape[-1], V, cfg)
     params = model.init(jax.random.PRNGKey(3))
     U = 12
@@ -399,7 +400,7 @@ def test_greedy_sequence_matches_torch():
     """Config 1: pBLSTM LAS greedy decode at 512 scale."""
     from end_to_end_asr_pytorch_tpu.decode.greedy import att_greedy
     cfg = model_cfg(dims=(512, 512), sample_rate=(2, 2), ctc_weight=0.5)
-    wave, feat, feat_len = make_feat(B=3, T=128, seed=5)
+    feat, feat_len = make_feat(B=3, T=128, seed=5)
     model = ASR(feat.shape[-1], V, cfg)
     params = model.init(jax.random.PRNGKey(6))
     enc, enc_len = model.encode(params, jnp.asarray(feat),
@@ -419,6 +420,11 @@ class TorchBeamLM:
     def __init__(self, model, params, lm, lm_params, decode_cfg):
         self.model, self.p = model, params
         self.lm, self.lp = lm, lm_params
+        # torch cell modules are construction-heavy; build them once, not
+        # once per hypothesis per decode step
+        self._lm_cells = (make_torch_cells(lm.module, lm_params.cells,
+                                           lm.emb_dim, lm.dim)
+                          if lm is not None else None)
         self.K = decode_cfg["beam_size"]
         self.cw = decode_cfg.get("ctc_weight", 0.0)
         self.lw = decode_cfg.get("lm_weight", 0.0)
@@ -431,7 +437,7 @@ class TorchBeamLM:
         p = self.lp
         inp = t(p.embed)[tok]
         hs, cs = [], []
-        cells = make_torch_cells(lm.module, p.cells, lm.emb_dim, lm.dim)
+        cells = self._lm_cells
         x = inp
         for i, cell in enumerate(cells):
             if lm.module == "lstm":
@@ -539,7 +545,7 @@ def test_beam_lm_sequence_matches_torch():
     from end_to_end_asr_pytorch_tpu.decode.beam import BeamDecoder
     cfg = model_cfg(dims=(64, 64), sample_rate=(2, 2), ctc_weight=0.5,
                     att_dim=32, dec_dim=64)
-    wave, feat, feat_len = make_feat(B=3, T=64, seed=7)
+    feat, feat_len = make_feat(B=3, T=64, seed=7)
     model = ASR(feat.shape[-1], V, cfg)
     params = model.init(jax.random.PRNGKey(8))
     lm = RNNLM(V, {"module": "LSTM", "dim": 64, "emb_dim": 64, "layer": 1})
