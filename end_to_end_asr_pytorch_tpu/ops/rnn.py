@@ -89,9 +89,8 @@ USE_FUSED_SCAN = "auto"  # "auto" | True | False (tests can override)
 
 def _fused_ok(x: jnp.ndarray) -> bool:
     if USE_FUSED_SCAN == "auto":
-        import jax as _jax
         return (x.dtype in (jnp.float32, jnp.bfloat16)
-                and _jax.default_backend() not in ("cpu",))
+                and jax.default_backend() not in ("cpu",))
     return bool(USE_FUSED_SCAN)
 
 
