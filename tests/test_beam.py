@@ -246,3 +246,58 @@ def test_approx_topk_rejects_bad_value():
     model, params = _model()
     with pytest.raises(ValueError):
         BeamDecoder(model, {"beam_size": 2, "approx_topk": 1.5})
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_beam_structural_invariants_fuzz(seed):
+    """Random config fuzz over the knob space: whatever the combination
+    (beam size, length ratios, CTC/LM weights, amp, early_stop,
+    psi_quant, approx_topk — the latter two exact on CPU), BeamOutput
+    must satisfy the structural contract: scores sorted descending with
+    real entries first, sentinel slots empty, token rows zero-padded past
+    their length, lengths within [0, max_len]."""
+    rng = np.random.RandomState(1000 + seed)
+    cw = float(rng.choice([0.0, 0.3, 0.7]))
+    lw = float(rng.choice([0.0, 0.4]))
+    model, params = _model(ctc_weight=0.5 if cw > 0 else 0.0)
+    lm = lm_params = None
+    if lw > 0:
+        lm = RNNLM(V, {"module": "LSTM", "dim": 8, "emb_dim": 8, "layer": 1})
+        lm_params = lm.init(jax.random.PRNGKey(seed))
+    cfg = {
+        "beam_size": int(rng.choice([2, 5, 9])),
+        "min_len_ratio": float(rng.choice([0.0, 0.3])),
+        "max_len_ratio": float(rng.choice([0.4, 0.9])),
+        "ctc_weight": cw, "lm_weight": lw,
+        "amp": bool(rng.randint(2)),
+        "early_stop": bool(rng.randint(2)),
+    }
+    if rng.randint(2):
+        cfg["psi_quant"] = "int8"
+    if rng.randint(2):
+        cfg["approx_topk"] = 0.95
+    B = 3
+    feat = jnp.asarray(rng.randn(B, T_ENC, 6), jnp.float32)
+    flen = jnp.asarray(rng.randint(2, T_ENC + 1, (B,)), jnp.int32)
+    out = BeamDecoder(model, cfg, lm=lm).forward(params, feat, flen,
+                                                 lm_params=lm_params)
+    scores = np.asarray(out.scores)
+    lengths = np.asarray(out.lengths)
+    tokens = np.asarray(out.tokens)
+    K = cfg["beam_size"]
+    assert scores.shape == (B, K) and tokens.shape[0:2] == (B, K)
+    # sorted descending
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    real = scores > -1e29
+    # at least one real hypothesis per utterance; real entries lead
+    assert real[:, 0].all()
+    assert np.all(real[:, 1:] <= real[:, :-1])  # no real after sentinel
+    max_len = np.maximum(np.ceil(cfg["max_len_ratio"]
+                                 * np.asarray(flen)), 1).astype(int)
+    assert np.all(lengths <= max_len[:, None])
+    assert np.all(lengths[~real] == 0)
+    # zero padding past each row's length
+    for b in range(B):
+        for k in range(K):
+            assert np.all(tokens[b, k, lengths[b, k]:] == 0)
+            assert np.all(tokens[b, k, :lengths[b, k]] != 0) or lengths[b, k] == 0
