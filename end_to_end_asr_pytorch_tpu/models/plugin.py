@@ -27,8 +27,19 @@ class PluginParams(NamedTuple):
 
 
 class EmbeddingRegularizer:
-    def __init__(self, cfg: Dict[str, Any], vocab_size: int, dec_dim: int):
-        table = np.load(cfg["src"]).astype(np.float32)
+    def __init__(self, cfg: Dict[str, Any], vocab_size: int, dec_dim: int,
+                 tokenizer=None):
+        src = cfg["src"]
+        if str(src).endswith(".vec"):
+            # fasttext/word2vec text format (SURVEY.md 2.18's fasttext
+            # path); needs the tokenizer to align rows to vocab ids
+            if tokenizer is None:
+                raise ValueError("plugin src is a .vec file; the caller "
+                                 "must pass the tokenizer")
+            from ..utils.bert_embedding import load_vec_table
+            table = load_vec_table(src, tokenizer)
+        else:
+            table = np.load(src).astype(np.float32)
         assert table.shape[0] == vocab_size, (
             f"embedding table rows {table.shape[0]} != vocab {vocab_size}")
         norm = np.linalg.norm(table, axis=1, keepdims=True)

@@ -56,7 +56,8 @@ class Solver(BaseSolver):
         if plugin_cfg and plugin_cfg.get("enabled", True):
             from ..models.plugin import EmbeddingRegularizer
             self.plugin = EmbeddingRegularizer(plugin_cfg, self.vocab_size,
-                                               self.model.dec_dim)
+                                               self.model.dec_dim,
+                                               tokenizer=self.tokenizer)
             self.plugin_params = self.plugin.init(jax.random.PRNGKey(7))
             template = {"asr": self.params, "plugin": self.plugin_params}
         if self.paras.load:

@@ -77,7 +77,8 @@ class Solver(BaseSolver):
         if plugin_cfg and plugin_cfg.get("enabled", True):
             from ..models.plugin import EmbeddingRegularizer
             self.plugin = EmbeddingRegularizer(plugin_cfg, self.vocab_size,
-                                               self.model.dec_dim)
+                                               self.model.dec_dim,
+                                               tokenizer=self.tokenizer)
             self.params = {"asr": asr_params,
                            "plugin": self.plugin.init(
                                jax.random.PRNGKey(self.paras.seed + 7))}

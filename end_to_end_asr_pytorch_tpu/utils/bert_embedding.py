@@ -33,6 +33,57 @@ def _hash_embedding(tokens, dim: int) -> np.ndarray:
     return out
 
 
+def load_vec_table(vec_file: str, tokenizer) -> np.ndarray:
+    """fasttext/word2vec text ``.vec`` -> the plugin's (vocab, dim) table.
+
+    Parity with the reference plugin's fasttext path (SURVEY.md 2.18: the
+    embedding regularizer consumes fasttext OR BERT embeddings): the text
+    format is one ``word v1 .. vdim`` row per line, with an optional
+    ``count dim`` header line. Rows are aligned to the tokenizer's vocab
+    order; a piece is looked up verbatim, then lowercased, then with a
+    leading sentencepiece word marker (U+2581) stripped. Pieces absent
+    from the file (reserved ids 0-2 always are) get zero rows — the
+    plugin normalizes with a 1e-8 floor, so their cosine target is simply
+    uninformative rather than NaN.
+    """
+    vecs = {}
+    dim = None
+    with open(vec_file, "r", encoding="utf-8") as f:
+        for ln_no, ln in enumerate(f):
+            parts = ln.rstrip("\n").split(" ")
+            if ln_no == 0 and len(parts) == 2:
+                continue  # "count dim" header
+            if len(parts) < 2:
+                continue
+            word, vals = parts[0], parts[1:]
+            if vals and vals[-1] == "":  # fasttext writes a trailing space
+                vals = vals[:-1]
+            if dim is None:
+                dim = len(vals)
+            elif len(vals) != dim:
+                raise ValueError(
+                    f"{vec_file}:{ln_no + 1}: row has {len(vals)} dims, "
+                    f"expected {dim}")
+            vecs[word] = np.asarray(vals, np.float32)
+    if dim is None:
+        raise ValueError(f"{vec_file}: no embedding rows found")
+    table = np.zeros((tokenizer.vocab_size, dim), np.float32)
+    hit = 0
+    for i in range(3, tokenizer.vocab_size):
+        piece = tokenizer._id_to_piece(i)
+        row = vecs.get(piece)
+        if row is None:
+            row = vecs.get(piece.lower())
+        if row is None and piece.startswith("▁"):
+            row = vecs.get(piece[1:]) if len(piece) > 1 else None
+        if row is not None:
+            table[i] = row
+            hit += 1
+    print(f"[vec_table] {vec_file}: matched {hit}/{tokenizer.vocab_size - 3} "
+          f"vocab pieces (dim {dim})")
+    return table
+
+
 def generate_embedding(vocab_file: str, mode: str, output: str,
                        model: str | None = None, method: str = "auto",
                        dim: int = 256) -> np.ndarray:

@@ -147,3 +147,50 @@ def test_bert_embedding_real_transformer_path(tmp_path):
     # rows are contextual-mean embeddings, not the hash table
     from end_to_end_asr_pytorch_tpu.utils.bert_embedding import _hash_embedding
     assert not np.allclose(table[3], _hash_embedding(["a"], 16)[0])
+
+
+def test_vec_table_loader(tmp_path):
+    """fasttext text-format .vec -> plugin table (SURVEY.md 2.18's
+    fasttext path): header line skipped, rows aligned to vocab ids,
+    sentencepiece word-marker and case fallbacks, missing pieces zero."""
+    from end_to_end_asr_pytorch_tpu.utils.text import load_text_encoder
+    vocab = tmp_path / "words.txt"
+    vocab.write_text("hello\nworld\nmissing\n")
+    tok = load_text_encoder("word", str(vocab))  # ids: 3=hello 4=world 5=missing
+    vec = tmp_path / "toy.vec"
+    vec.write_text("3 4\n"                      # fasttext count/dim header
+                   "hello 1 2 3 4\n"
+                   "WORLD 9 9 9 9\n"            # matched via .lower()? no —
+                   "world 5 6 7 8 \n"           # exact match wins (note
+                   "unused 0 0 0 1\n")          # fasttext trailing space)
+    from end_to_end_asr_pytorch_tpu.utils.bert_embedding import load_vec_table
+    table = load_vec_table(str(vec), tok)
+    assert table.shape == (tok.vocab_size, 4)
+    np.testing.assert_array_equal(table[3], [1, 2, 3, 4])
+    np.testing.assert_array_equal(table[4], [5, 6, 7, 8])
+    np.testing.assert_array_equal(table[5], 0)          # absent -> zeros
+    np.testing.assert_array_equal(table[:3], 0)         # reserved ids
+
+
+def test_plugin_accepts_vec_src(tmp_path):
+    """`src: foo.vec` in the plugin config works end-to-end (loss + fusion
+    run on a .vec-built table), and needs the tokenizer."""
+    from end_to_end_asr_pytorch_tpu.utils.text import load_text_encoder
+    vocab = tmp_path / "words.txt"
+    vocab.write_text("hello\nworld\n")
+    tok = load_text_encoder("word", str(vocab))
+    vec = tmp_path / "toy.vec"
+    rng = np.random.RandomState(0)
+    rows = [f"w{i} " + " ".join(f"{x:.3f}" for x in rng.randn(8))
+            for i in range(3)]
+    vec.write_text("hello " + " ".join("1" for _ in range(8)) + "\n"
+                   + "\n".join(rows) + "\n")
+    plug = EmbeddingRegularizer({"src": str(vec), "weight": 0.5},
+                                tok.vocab_size, DEC, tokenizer=tok)
+    assert plug.table.shape == (tok.vocab_size, 8)
+    dec_states = jnp.asarray(rng.randn(2, 3, DEC), jnp.float32)
+    targets = jnp.asarray([[3, 4, 0], [4, 1, 0]], jnp.int32)
+    loss = plug.loss(plug.init(jax.random.PRNGKey(0)), dec_states, targets)
+    assert np.isfinite(float(loss))
+    with pytest.raises(ValueError, match="tokenizer"):
+        EmbeddingRegularizer({"src": str(vec)}, tok.vocab_size, DEC)
