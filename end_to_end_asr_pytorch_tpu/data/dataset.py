@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import itertools
 from collections import OrderedDict
+from pathlib import Path
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -305,13 +306,52 @@ def load_dataset(n_jobs: int, use_gpu: bool, pin_memory: bool,
     return tr_set, dv_set, feat_dim, tokenizer.vocab_size, tokenizer, msg
 
 
+class TextLineDataset:
+    """Text-only sentences (one per line) with the ``text_ids``/``text_raw``
+    API TextBatchLoader needs — LM training on corpora larger than the
+    paired audio (a split entry ending in ``.txt`` selects this; e.g. the
+    synthetic generator's ``lm_text.txt``)."""
+
+    def __init__(self, path: str, files, tokenizer):
+        self.tokenizer = tokenizer
+        lines: List[str] = []
+        for f in files:
+            fp = Path(path) / f
+            lines += [ln.strip().lower()
+                      for ln in fp.read_text().splitlines() if ln.strip()]
+        if not lines:
+            raise RuntimeError(f"no text lines under {path} {list(files)}")
+        self._raw = lines
+        self._ids = [tokenizer.encode(ln) for ln in lines]
+
+    def __len__(self):
+        return len(self._ids)
+
+    def text_ids(self, i: int) -> List[int]:
+        return self._ids[i]
+
+    def text_raw(self, i: int) -> str:
+        return self._raw[i]
+
+
+def _make_textset(corpus_cfg: Dict[str, Any], splits, tokenizer):
+    if isinstance(splits, str):
+        splits = [splits]
+    if all(str(s).endswith(".txt") for s in splits):
+        return TextLineDataset(corpus_cfg["path"], splits, tokenizer)
+    return _make_corpus(corpus_cfg, splits, tokenizer)
+
+
 def load_textset(n_jobs: int, use_gpu: bool, pin_memory: bool,
                  corpus: Dict[str, Any], text: Dict[str, Any]):
-    """Mirror of reference ``load_textset`` for LM training (SURVEY.md 2.5)."""
+    """Mirror of reference ``load_textset`` for LM training (SURVEY.md 2.5).
+
+    Split entries ending in ``.txt`` load as plain text-line files
+    (sentence per line) instead of audio-corpus transcripts."""
     tokenizer = load_text_encoder(text["mode"], text["vocab_file"])
     bs = int(corpus.get("batch_size", 32))
-    tr_ds = _make_corpus(corpus, corpus["train_split"], tokenizer)
-    dv_ds = _make_corpus(corpus, corpus["dev_split"], tokenizer)
+    tr_ds = _make_textset(corpus, corpus["train_split"], tokenizer)
+    dv_ds = _make_textset(corpus, corpus["dev_split"], tokenizer)
     tr_set = TextBatchLoader(tr_ds, bs)
     dv_set = TextBatchLoader(dv_ds, bs, shuffle=False)
     msg = [f"LM corpus | train {len(tr_ds)} / dev {len(dv_ds)} sentences | "

@@ -20,10 +20,25 @@ def main():
                     help="generate this many pseudo-words instead of the "
                          "14 NATO words (subword-vocab corpora)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--grammar", default="", choices=["", "bigram"],
+                    help="word-order structure (LM-fusion demonstration)")
+    ap.add_argument("--branch", type=int, default=4,
+                    help="bigram grammar branching factor")
+    ap.add_argument("--homophones", type=int, default=0,
+                    help="pairs of words rendered with identical audio")
+    ap.add_argument("--text_only", type=int, default=0,
+                    help="extra grammar-sampled sentences -> lm_text.txt")
+    ap.add_argument("--uniform_train", action="store_true",
+                    help="keep UNIFORM word order in train-clean (grammar "
+                         "applies to dev/test/lm_text only)")
     args = ap.parse_args()
     root = generate_corpus(args.out, args.n_train, args.n_dev, args.n_test,
                            args.seed, args.min_words, args.max_words,
-                           word_inventory=args.word_inventory)
+                           word_inventory=args.word_inventory,
+                           grammar=args.grammar, branch=args.branch,
+                           homophones=args.homophones,
+                           text_only=args.text_only,
+                           grammar_in_train=not args.uniform_train)
     print(f"synthetic corpus at {root} "
           f"({args.n_train}/{args.n_dev}/{args.n_test} utts)")
 

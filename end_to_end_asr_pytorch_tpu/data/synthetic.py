@@ -44,6 +44,18 @@ def make_word_inventory(n: int, seed: int = 1234) -> list:
     return out
 
 
+def make_bigram_grammar(n_words: int, branch: int = 4,
+                        seed: int = 4321) -> np.ndarray:
+    """Deterministic (n_words, branch) successor table: word i may only be
+    followed by one of ``successors[i]``. Sentences sampled from it carry
+    ~log2(branch) bits/word instead of log2(n_words) — learnable sequence
+    structure for the LM-fusion demonstration (an RNN-LM trained on enough
+    grammar text disambiguates homophones that the acoustics cannot)."""
+    rng = np.random.RandomState(seed)
+    return np.stack([rng.choice(n_words, size=branch, replace=False)
+                     for _ in range(n_words)])
+
+
 def _char_freq(c: str) -> float:
     if c == " ":
         return 0.0
@@ -71,28 +83,85 @@ def render(text: str, rng: np.random.RandomState) -> np.ndarray:
 def generate_corpus(root: str, n_train: int = 64, n_dev: int = 16,
                     n_test: int = 16, seed: int = 0,
                     min_words: int = 1, max_words: int = 3,
-                    word_inventory: int = 0) -> Path:
+                    word_inventory: int = 0, grammar: str = "",
+                    branch: int = 4, homophones: int = 0,
+                    text_only: int = 0, grammar_in_train: bool = True) -> Path:
     """Writes <root>/{train,dev,test}-clean/<spk>/<chap>/*.wav + trans.txt.
     Returns the root path. Deterministic for a given seed.
     ``word_inventory > 0`` swaps the 14 NATO words for that many generated
-    pseudo-words (subword-vocab-scale corpora)."""
+    pseudo-words (subword-vocab-scale corpora).
+
+    LM-fusion demonstration knobs (BASELINE.md "grammar corpus"):
+    - ``grammar='bigram'``: word order follows ``make_bigram_grammar``
+      successor sets instead of uniform sampling.
+    - ``homophones=H``: the first 2H inventory words form H pairs whose
+      members RENDER with the first member's audio but keep their own
+      spelling — acoustically indistinguishable, resolvable only from
+      word context. (The paired-audio training set is kept small so the
+      decoder's implicit LM underfits the grammar; the text-only corpus
+      below is what lets the external fused LM win.)
+    - ``text_only=M``: additionally writes M grammar-sampled text-only
+      sentences (no audio) to <root>/lm_text.txt for LM training — the
+      realistic regime where LM text vastly outnumbers paired audio.
+    - ``grammar_in_train=False``: the ASR train split keeps UNIFORM word
+      order (dev/test/lm_text still follow the grammar), so the attention
+      decoder's implicit LM cannot learn the transitions — homophone
+      disambiguation on dev/test then isolates the external fused LM's
+      contribution.
+
+    Grammar sentences start on a non-homophone word (a left-to-right LM
+    has no context to resolve a sentence-initial homophone; real corpora
+    constrain sentence starts too).
+    """
     rng = np.random.RandomState(seed)
     words = (make_word_inventory(word_inventory) if word_inventory > 0
              else WORDS)
+    successors = (make_bigram_grammar(len(words), branch)
+                  if grammar == "bigram" else None)
+    assert 2 * homophones <= len(words)
+    # spoken[i] = the word whose characters are rendered for word i
+    spoken = list(range(len(words)))
+    for h in range(homophones):
+        spoken[2 * h + 1] = 2 * h
+
+    def sample_sentence(use_grammar: bool) -> list:
+        n_words = rng.randint(min_words, max_words + 1)
+        if use_grammar:
+            # non-homophone start: a left-to-right LM can't resolve a
+            # context-free first word
+            idxs = [int(rng.randint(2 * homophones, len(words)))]
+        else:
+            idxs = [int(rng.randint(len(words)))]
+        while len(idxs) < n_words:
+            if use_grammar:
+                idxs.append(int(successors[idxs[-1]][rng.randint(branch)]))
+            else:
+                idxs.append(int(rng.randint(len(words))))
+        return idxs
+
     root_p = Path(root)
     for split, n_utt in (("train-clean", n_train), ("dev-clean", n_dev),
                          ("test-clean", n_test)):
         chap_dir = root_p / split / "1" / "1"
         chap_dir.mkdir(parents=True, exist_ok=True)
+        use_grammar = successors is not None and (
+            grammar_in_train or split != "train-clean")
         lines = []
         for i in range(n_utt):
-            n_words = rng.randint(min_words, max_words + 1)
-            text = " ".join(words[rng.randint(len(words))]
-                            for _ in range(n_words))
+            idxs = sample_sentence(use_grammar)
+            text = " ".join(words[j] for j in idxs)
+            audio_text = " ".join(words[spoken[j]] for j in idxs)
             utt_id = f"1-1-{i:04d}"
-            write_wav(str(chap_dir / f"{utt_id}.wav"), render(text, rng), SR)
+            write_wav(str(chap_dir / f"{utt_id}.wav"),
+                      render(audio_text, rng), SR)
             lines.append(f"{utt_id} {text.upper()}")
         (chap_dir / "1-1.trans.txt").write_text("\n".join(lines) + "\n")
+    if text_only > 0:
+        with open(root_p / "lm_text.txt", "w") as f:
+            for _ in range(text_only):
+                f.write(" ".join(words[j] for j in
+                                 sample_sentence(successors is not None))
+                        + "\n")
     # vocab file for character mode
     chars = sorted(set(string.ascii_lowercase)) + ["<space>"]
     (root_p / "vocab.txt").write_text("\n".join(chars) + "\n")
