@@ -29,7 +29,8 @@ BATCH = 128
 ITERS = 20  # 10-iter trials swing +-10% through the TPU tunnel
 
 
-def run_one(V, ctc_candidates, psi_quant=False, batch=BATCH, iters=ITERS):
+def run_one(V, ctc_candidates, psi_quant=False, approx_topk=False,
+            batch=BATCH, iters=ITERS):
     import jax
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
@@ -49,6 +50,8 @@ def run_one(V, ctc_candidates, psi_quant=False, batch=BATCH, iters=ITERS):
         cfg["ctc_candidates"] = V  # force full-vocab CTC scoring
     if psi_quant:
         cfg["psi_quant"] = psi_quant
+    if approx_topk:
+        cfg["approx_topk"] = approx_topk
     decoder = BeamDecoder(model, cfg, lm=lm)
 
     fwd = jax.jit(lambda p, lp, w, wl: decoder.forward(
@@ -70,8 +73,10 @@ def run_one(V, ctc_candidates, psi_quant=False, batch=BATCH, iters=ITERS):
         "V": V,
         "ctc_candidates": cfg["ctc_candidates"],
         "psi_quant": psi_quant or False,
+        "approx_topk": approx_topk or False,
         "mode": ("full" if cfg["ctc_candidates"] >= V else "candidate")
-                + ("+q8" if psi_quant else ""),
+                + ("+q8" if psi_quant else "")
+                + (f"+atk{approx_topk}" if approx_topk else ""),
         "batch": batch,
         "utts_per_sec": round(batch / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),
@@ -83,30 +88,37 @@ def run_one(V, ctc_candidates, psi_quant=False, batch=BATCH, iters=ITERS):
 def main():
     rows = []
     configs = [
-        (31, None, False),   # char flagship (C=128 default >= V -> full)
-        (1024, 32, False),
-        (1024, 128, False),
-        (1024, None, False),  # full-vocab scoring comparison
-        (5120, 128, False),
-        (5120, None, False),
-        (16384, 128, False),
-        (16384, None, False),
-        (1024, None, "int8"),
-        (5120, None, "int8"),
-        (16384, None, "int8"),
+        (31, None, False, False),   # char flagship (C=128 default -> full)
+        (1024, 32, False, False),
+        (1024, 128, False, False),
+        (1024, None, False, False),  # full-vocab scoring comparison
+        (5120, 128, False, False),
+        (5120, None, False, False),
+        (16384, 128, False, False),
+        (16384, None, False, False),
+        (1024, None, "int8", False),
+        (5120, None, "int8", False),
+        (16384, None, "int8", False),
+        (1024, None, False, 0.95),
+        (5120, None, False, 0.95),
+        (16384, None, False, 0.95),
+        (16384, None, False, 0.99),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
-    for V, C, Q in configs:
-        tag = f"{V}/{C}" + ("/q8" if Q else "")
+    for V, C, Q, A in configs:
+        tag = (f"{V}/{C}" + ("/q8" if Q else "")
+               + (f"/atk{A}" if A else ""))
         if only and tag not in only:
             continue
-        r = run_one(V, C, Q)
+        r = run_one(V, C, Q, A)
         rows.append(r)
         print(json.dumps(r), flush=True)
     out_file = Path(__file__).parent / "bench_vocab.json"
     old = json.loads(out_file.read_text()) if out_file.exists() else []
     # replace rows with the same (V, ctc_candidates)
-    key = lambda r: (r["V"], r["ctc_candidates"], str(r.get("psi_quant") or ""))
+    key = lambda r: (r["V"], r["ctc_candidates"],
+                     str(r.get("psi_quant") or ""),
+                     str(r.get("approx_topk") or ""))
     keyed = {key(r): r for r in old}
     for r in rows:
         keyed[key(r)] = r
