@@ -82,8 +82,9 @@ def _fwd_kernel(xp_ref, whh_ref, mask_ref, ys_ref, cs_ref, gates_ref,
         h = m * h_new + (1.0 - m) * h
         c = m * c_new + (1.0 - m) * c
         ys_ref[u] = (m * h_new).astype(ys_ref.dtype)
-        cs_ref[u] = c
-        gates_ref[u] = jnp.concatenate([i, f, g, o], axis=-1)
+        cs_ref[u] = c.astype(cs_ref.dtype)
+        gates_ref[u] = jnp.concatenate([i, f, g, o],
+                                       axis=-1).astype(gates_ref.dtype)
     h_scr[...] = h
     c_scr[...] = c
 
@@ -113,10 +114,16 @@ def _run_fwd(x_proj, mask, w_hh, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            # ys in the input dtype (bf16 under amp); residuals stay f32
+            # ys AND the saved residuals (cell states, gates) in the input
+            # dtype: under amp the bf16 residual store/reload halves the
+            # (T, B, 5H) HBM round-trip between forward and backward; the
+            # gate math itself always accumulates f32 (gradients recompute
+            # tanh/sigmoid-derivative terms from bf16-rounded activations,
+            # the same numerics class as bf16 matmul inputs). f32 runs
+            # keep exact f32 residuals.
             jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, 4 * H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T, B, 4 * H), x_proj.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((TB, H), jnp.float32),
@@ -142,13 +149,13 @@ def _bwd_kernel(gates_ref, cs_ref, cs_prev_ref, mask_ref,
     dc_carry = dc_scr[...]
     whh_t = whh_t_ref[...]
     for u in range(U - 1, -1, -1):              # walk time downwards
-        gates = gates_ref[u]
+        gates = gates_ref[u].astype(jnp.float32)
         i = gates[:, :H]
         f = gates[:, H:2 * H]
         g = gates[:, 2 * H:3 * H]
         o = gates[:, 3 * H:]
-        c_t = cs_ref[u]
-        c_prev = cs_prev_ref[u]
+        c_t = cs_ref[u].astype(jnp.float32)
+        c_prev = cs_prev_ref[u].astype(jnp.float32)
         m = mask_ref[u]                         # (B, 1)
 
         dh = dh_carry + dys_ref[u].astype(jnp.float32)
@@ -182,9 +189,10 @@ def _run_bwd(gates, cs, ys, mask, w_hh, dys, interpret=False):
     NB = T // U
     TB = _pick_b_tile(B)
     # previous-step tensors (index t-1, zeros at t=0)
-    zeros_bh = jnp.zeros((1, B, H), jnp.float32)
-    cs_prev = jnp.concatenate([zeros_bh, cs[:-1]], axis=0)
-    hs_prev = jnp.concatenate([zeros_bh, ys[:-1]], axis=0)
+    cs_prev = jnp.concatenate(
+        [jnp.zeros((1, B, H), cs.dtype), cs[:-1]], axis=0)
+    hs_prev = jnp.concatenate(
+        [jnp.zeros((1, B, H), ys.dtype), ys[:-1]], axis=0)
 
     rev = lambda b, t: (NB - 1 - t, b, 0)
     dxp = pl.pallas_call(
