@@ -54,8 +54,9 @@ def _fwd_kernel(xp_ref, whh_ref, bhh_ref, mask_ref, ys_ref, gates_ref,
         m = mask_ref[u]                              # (B, 1) float 0/1
         h = m * h_new + (1.0 - m) * h
         ys_ref[u] = (m * h_new).astype(ys_ref.dtype)
-        gates_ref[u] = jnp.concatenate([r, z, n], axis=-1)
-        hpn_ref[u] = hp_n
+        gates_ref[u] = jnp.concatenate([r, z, n],
+                                       axis=-1).astype(gates_ref.dtype)
+        hpn_ref[u] = hp_n.astype(hpn_ref.dtype)
     h_scr[...] = h
 
 
@@ -70,11 +71,12 @@ def _bwd_kernel(gates_ref, hpn_ref, hs_prev_ref, mask_ref, whh_t_ref,
     dh_carry = dh_scr[...]
     whh_t = whh_t_ref[...]
     for u in range(U - 1, -1, -1):              # walk time downwards
-        gates = gates_ref[u]
+        # residuals may be stored bf16 under amp; compute in f32
+        gates = gates_ref[u].astype(jnp.float32)
         r = gates[:, :H]
         z = gates[:, H:2 * H]
         n = gates[:, 2 * H:]
-        hp_n = hpn_ref[u]
+        hp_n = hpn_ref[u].astype(jnp.float32)
         # ys (and so hs_prev / dys) may be bf16 under amp; compute in f32
         h_prev = hs_prev_ref[u].astype(jnp.float32)
         m = mask_ref[u]
@@ -131,10 +133,13 @@ def _run_fwd(x_proj, mask, w_hh, b_hh, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            # ys in the input dtype (bf16 under amp); residuals stay f32
+            # ys AND the saved residuals (gates, hp_n) in the input dtype:
+            # under amp the bf16 residual store/reload halves the (T,B,4H)
+            # fwd->bwd HBM round-trip (lstm_kernel symmetry); backward
+            # casts to f32 on read, f32 runs keep exact f32 residuals
             jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
-            jax.ShapeDtypeStruct((T, B, 3 * H), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, 3 * H), x_proj.dtype),
+            jax.ShapeDtypeStruct((T, B, H), x_proj.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((TB, H), jnp.float32)],
         interpret=interpret,

@@ -116,6 +116,40 @@ def test_gru_fused_compiled(reverse):
                                rtol=5e-3, atol=2e-3)
 
 
+def test_gru_fused_bf16_io_compiled():
+    """amp path: bf16 x_proj/ys AND bf16-stored residuals (gates, hp_n)
+    with f32 in-kernel recurrence — the GRU sibling of the LSTM test."""
+    w = rnn_ops.init_gru(jax.random.PRNGKey(9), D, H)
+    x = jnp.asarray(np.random.RandomState(9).randn(T, B, D), jnp.float32)
+    mask = _mask()
+    x_proj = jnp.dot(x, w.w_ih) + w.b_ih
+    xp16 = x_proj.astype(jnp.bfloat16)
+    cot = jnp.asarray(np.random.RandomState(10).randn(T, B, H), jnp.float32)
+
+    f = jax.jit(lambda xp, whh, bhh: gru_scan_fused(xp, whh, bhh, mask,
+                                                    False))
+    y32 = f(x_proj, w.w_hh, w.b_hh)
+    y16 = f(xp16, w.w_hh, w.b_hh)
+    assert y16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(y16, np.float32), np.asarray(y32),
+                               rtol=2e-2, atol=2e-2)
+
+    g32 = jax.jit(jax.grad(
+        lambda xp, whh, bhh: jnp.sum(
+            gru_scan_fused(xp, whh, bhh, mask, False) * cot),
+        argnums=(0, 1)))(x_proj, w.w_hh, w.b_hh)
+    g16 = jax.jit(jax.grad(
+        lambda xp, whh, bhh: jnp.sum(
+            gru_scan_fused(xp, whh, bhh, mask,
+                           False).astype(jnp.float32) * cot),
+        argnums=(0, 1)))(xp16, w.w_hh, w.b_hh)
+    assert g16[0].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(g16[0], np.float32),
+                               np.asarray(g32[0]), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(g16[1]), np.asarray(g32[1]),
+                               rtol=5e-2, atol=5e-1)
+
+
 def test_ctc_fused_compiled_values_and_grads():
     rng = np.random.RandomState(4)
     Bc, Tc, V, U = 8, 96, 31, 24
