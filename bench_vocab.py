@@ -103,6 +103,10 @@ def main():
         (5120, None, False, 0.95),
         (16384, None, False, 0.95),
         (16384, None, False, 0.99),
+        # combined levers: the production large-V config if each is
+        # WER-neutral on the trained checkpoints (util/run_sub5k.sh A/B)
+        (5120, None, "int8", 0.95),
+        (16384, None, "int8", 0.95),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
     for V, C, Q, A in configs:

@@ -19,13 +19,14 @@ grep -E "WER|saved" /tmp/sub5k_asr.log | tail -6
 python - <<'EOF'
 import yaml
 for tag, knobs in (("q8", {"psi_quant": "int8"}),
-                   ("atk", {"approx_topk": 0.95})):
+                   ("atk", {"approx_topk": 0.95}),
+                   ("q8atk", {"psi_quant": "int8", "approx_topk": 0.95})):
     cfg = yaml.safe_load(open('config/synthetic/las_sub5k.yaml'))
     cfg['decode'].update(knobs)
     yaml.safe_dump(cfg, open(f'/tmp/las_sub5k_{tag}.yaml', 'w'))
 EOF
 
-for variant in default q8 atk; do
+for variant in default q8 atk q8atk; do
   CFG=config/synthetic/las_sub5k.yaml
   [ "$variant" != default ] && CFG=/tmp/las_sub5k_$variant.yaml
   echo "=== decode best_att $variant ($(date +%H:%M:%S)) ==="
