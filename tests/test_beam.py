@@ -242,6 +242,26 @@ def test_approx_topk_wiring_matches_exact_on_cpu():
     np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
 
 
+def test_combined_q8_approx_topk_matches_q8_on_cpu():
+    """The combined production large-V config (psi_quant=int8 +
+    approx_topk): on CPU approx_max_k is exact, so the combined decode
+    must be bit-identical to the q8-only decode — pinning that the two
+    knobs compose without interfering (the atk path must consume the
+    SAME quantized psi values it would without pruning)."""
+    model, params = _model(ctc_weight=0.5)
+    feat = _feat(B=2, seed=11)
+    flen = jnp.array([T_ENC, T_ENC - 1])
+    cfg = {"beam_size": 4, "min_len_ratio": 0.0, "max_len_ratio": 1.0,
+           "ctc_weight": 0.4, "lm_weight": 0.0, "psi_quant": "int8"}
+    a = BeamDecoder(model, cfg).forward(params, feat, flen)
+    b = BeamDecoder(model, dict(cfg, approx_topk=0.95)).forward(
+        params, feat, flen)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_array_equal(np.asarray(a.lengths),
+                                  np.asarray(b.lengths))
+    np.testing.assert_array_equal(np.asarray(a.scores), np.asarray(b.scores))
+
+
 def test_approx_topk_rejects_bad_value():
     model, params = _model()
     with pytest.raises(ValueError):
