@@ -40,6 +40,10 @@ class BaseSolver:
         self._writer = None
         self.step = 0
         self.timer = Timer()
+        # "native" single-file msgpack (default) or "orbax" directories;
+        # load_checkpoint sniffs, so this only affects how NEW ckpts are
+        # written (utils/checkpoint.py).
+        self.ckpt_format = config.get("ckpt_format", "native")
 
     # ------------------------------------------------------------- logging
     @property

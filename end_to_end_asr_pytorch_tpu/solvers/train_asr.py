@@ -340,8 +340,10 @@ class Solver(BaseSolver):
                 self.best_wer[head] = wer
                 save_checkpoint(
                     self.ckpdir / f"best_{head}.pth", self.params,
-                    self.opt_state, self.step, {"wer": wer, "cer": cer})
+                    self.opt_state, self.step, {"wer": wer, "cer": cer},
+                    fmt=self.ckpt_format)
         save_checkpoint(self.ckpdir / "latest.pth", self.params,
                         self.opt_state, self.step,
-                        {f"wer_{h}": self.best_wer[h] for h in self.best_wer})
+                        {f"wer_{h}": self.best_wer[h] for h in self.best_wer},
+                        fmt=self.ckpt_format)
         self.progress("DEV | " + " | ".join(msg))

@@ -129,6 +129,8 @@ class Solver(BaseSolver):
         if ppx < self.best_ppx:
             self.best_ppx = ppx
             save_checkpoint(self.ckpdir / "best_ppx.pth", self.params,
-                            self.opt_state, self.step, {"ppx": ppx})
+                            self.opt_state, self.step, {"ppx": ppx},
+                            fmt=self.ckpt_format)
         save_checkpoint(self.ckpdir / "latest.pth", self.params,
-                        self.opt_state, self.step, {"ppx": ppx})
+                        self.opt_state, self.step, {"ppx": ppx},
+                        fmt=self.ckpt_format)

@@ -6,10 +6,19 @@ restores model+optimizer+step, test mode restores model only.
 Format is msgpack via flax.serialization (not torch pickles); the ``.pth``
 names are kept so reference-style tooling/docs carry over. Restoring needs a
 structure template (freshly-initialized state), which every solver has.
+
+An optional **orbax** backend (``ckpt_format: orbax`` in the experiment
+yaml, or ``fmt="orbax"`` here) writes the same lifecycle names as
+*directories* via ``orbax.checkpoint.StandardCheckpointer`` — the
+industry-standard JAX checkpoint layout (sharding-aware, per-leaf ocdbt
+storage). ``load_checkpoint`` sniffs all three formats (native file /
+orbax dir / torch pickle), so mixing formats across an experiment's
+lifetime just works.
 """
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -18,7 +27,13 @@ from flax import serialization
 
 def save_checkpoint(path: str, model_params: Any, opt_state: Any = None,
                     global_step: int = 0,
-                    metrics: Optional[Dict[str, float]] = None) -> None:
+                    metrics: Optional[Dict[str, float]] = None,
+                    fmt: str = "native") -> None:
+    if fmt == "orbax":
+        return _save_orbax(path, model_params, opt_state, global_step,
+                           metrics)
+    if fmt != "native":
+        raise ValueError(f"unknown ckpt_format {fmt!r} (native|orbax)")
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -57,6 +72,8 @@ def load_checkpoint(path: str, model_template: Any,
     from native checkpoints (torch optimizer state is not optax-portable).
     """
     from .torch_ckpt import is_torch_checkpoint, load_torch_checkpoint
+    if Path(path).is_dir():
+        return _load_orbax(path, model_template, opt_template)
     if is_torch_checkpoint(path):
         return load_torch_checkpoint(path, model_template)
     with open(path, "rb") as f:
@@ -72,4 +89,58 @@ def load_checkpoint(path: str, model_template: Any,
     }
     if opt_template is not None and opt_b:
         out["optimizer"] = serialization.from_bytes(opt_template, opt_b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# orbax backend: <path>/ is a directory with `model/` and optional
+# `optimizer/` StandardCheckpointer items plus a tiny `meta.json`. Saved to a
+# `.tmp` sibling then renamed, preserving the native format's preemption
+# atomicity (orbax is atomic per item; the rename makes the PAIR atomic).
+# ---------------------------------------------------------------------------
+
+def _save_orbax(path, model_params, opt_state, global_step, metrics) -> None:
+    import orbax.checkpoint as ocp
+    path = Path(path).absolute()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        ckptr.save(tmp / "model", model_params)
+        if opt_state is not None:
+            ckptr.save(tmp / "optimizer", opt_state)
+        ckptr.wait_until_finished()
+    finally:
+        ckptr.close()
+    (tmp / "meta.json").write_text(json.dumps(
+        {"global_step": int(global_step), "metrics": metrics or {}}))
+    if path.is_dir():
+        shutil.rmtree(path)
+    elif path.exists():          # switching formats mid-experiment
+        path.unlink()
+    tmp.replace(path)
+
+
+def _load_orbax(path, model_template, opt_template) -> Dict[str, Any]:
+    import jax
+    import orbax.checkpoint as ocp
+    path = Path(path).absolute()
+    meta = json.loads((path / "meta.json").read_text())
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct,
+                                model_template)
+        out = {
+            "model": ckptr.restore(path / "model", abstract),
+            "global_step": meta["global_step"],
+            "metrics": meta["metrics"],
+            "optimizer": None,
+        }
+        if opt_template is not None and (path / "optimizer").is_dir():
+            out["optimizer"] = ckptr.restore(
+                path / "optimizer",
+                jax.tree.map(ocp.utils.to_shape_dtype_struct, opt_template))
+    finally:
+        ckptr.close()
     return out
