@@ -95,8 +95,11 @@ def load_checkpoint(path: str, model_template: Any,
 # ---------------------------------------------------------------------------
 # orbax backend: <path>/ is a directory with `model/` and optional
 # `optimizer/` StandardCheckpointer items plus a tiny `meta.json`. Saved to a
-# `.tmp` sibling then renamed, preserving the native format's preemption
-# atomicity (orbax is atomic per item; the rename makes the PAIR atomic).
+# `.tmp` sibling then renamed so a partially-written checkpoint never sits at
+# the final name. Caveat vs the native single-file format: overwriting an
+# EXISTING dir needs rmtree-then-rename (rename can't replace a non-empty
+# dir), so a preemption in that window leaves only the complete `.tmp` —
+# recoverable, but not the native format's single-syscall atomicity.
 # ---------------------------------------------------------------------------
 
 def _save_orbax(path, model_params, opt_state, global_step, metrics) -> None:
