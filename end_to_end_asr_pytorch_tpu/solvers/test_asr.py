@@ -83,15 +83,19 @@ class Solver(BaseSolver):
                          f"(weight {self.lm_weight})")
 
         # shard each decode batch over the ('data',) mesh; params replicated
-        self.mesh = pmesh.make_mesh()
+        # (or tensor-parallel over the optional 'model' axis)
+        mp = int(self.config.get("model_parallel", 1))
+        self.mesh = pmesh.make_mesh(model_parallel=mp)
         self.n_dev = self.mesh.devices.size
-        self.params = pmesh.replicate_tree(self.mesh, self.params)
+        self.params = pmesh.shard_params(self.mesh, self.params)
         if self.lm_params is not None:
-            self.lm_params = pmesh.replicate_tree(self.mesh, self.lm_params)
+            self.lm_params = pmesh.shard_params(self.mesh, self.lm_params)
         if self.plugin_params is not None:
             self.plugin_params = pmesh.replicate_tree(self.mesh,
                                                       self.plugin_params)
-        self.verbose(f"Decode mesh | {self.n_dev}x data-parallel")
+        mesh_msg = (f"{self.n_dev // mp}x{mp} data x model-parallel"
+                    if mp > 1 else f"{self.n_dev}x data-parallel")
+        self.verbose(f"Decode mesh | {mesh_msg}")
 
         if self.model.enable_att:
             self.decoder = BeamDecoder(self.model, self.decode_cfg, self.lm,

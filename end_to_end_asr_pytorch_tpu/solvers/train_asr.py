@@ -88,21 +88,24 @@ class Solver(BaseSolver):
         self.optimizer = Optimizer(self.config["hparas"],
                                    grad_clip=self.GRAD_CLIP)
         self.opt_state = self.optimizer.init(self.params)
-        self.mesh = pmesh.make_mesh()
+        mp = int(self.config.get("model_parallel", 1))
+        self.mesh = pmesh.make_mesh(model_parallel=mp)
         self.n_dev = self.mesh.devices.size
-        self.params = pmesh.replicate_tree(self.mesh, self.params)
-        self.opt_state = pmesh.replicate_tree(self.mesh, self.opt_state)
+        self.params = pmesh.shard_params(self.mesh, self.params)
+        self.opt_state = pmesh.shard_params(self.mesh, self.opt_state)
         n_params = sum(np.prod(l.shape) for l in
                        jax.tree_util.tree_leaves(self.params))
+        mesh_msg = (f"{self.n_dev // mp}x{mp} data x model-parallel"
+                    if mp > 1 else f"{self.n_dev}x data-parallel")
         self.verbose(
             f"ASR model | ctc_weight {self.ctc_weight} | params "
-            f"{n_params / 1e6:.2f}M | mesh {self.n_dev}x data-parallel")
+            f"{n_params / 1e6:.2f}M | mesh {mesh_msg}")
         if self.paras.load:
             ck = load_checkpoint(self.paras.load, self.params, self.opt_state)
-            self.params = pmesh.replicate_tree(self.mesh, ck["model"])
+            self.params = pmesh.shard_params(self.mesh, ck["model"])
             if ck["optimizer"] is not None:
-                self.opt_state = pmesh.replicate_tree(self.mesh,
-                                                      ck["optimizer"])
+                self.opt_state = pmesh.shard_params(self.mesh,
+                                                    ck["optimizer"])
             self.step = ck["global_step"]
             self.verbose(f"Loaded ckpt {self.paras.load} @ step {self.step}")
         self._build_steps()

@@ -43,15 +43,16 @@ class Solver(BaseSolver):
         self.optimizer = Optimizer(self.config["hparas"],
                                    grad_clip=self.GRAD_CLIP)
         self.opt_state = self.optimizer.init(self.params)
-        self.mesh = pmesh.make_mesh()
+        mp = int(self.config.get("model_parallel", 1))
+        self.mesh = pmesh.make_mesh(model_parallel=mp)
         self.n_dev = self.mesh.devices.size
-        self.params = pmesh.replicate_tree(self.mesh, self.params)
-        self.opt_state = pmesh.replicate_tree(self.mesh, self.opt_state)
+        self.params = pmesh.shard_params(self.mesh, self.params)
+        self.opt_state = pmesh.shard_params(self.mesh, self.opt_state)
         if self.paras.load:
             ck = load_checkpoint(self.paras.load, self.params, self.opt_state)
-            self.params = pmesh.replicate_tree(self.mesh, ck["model"])
+            self.params = pmesh.shard_params(self.mesh, ck["model"])
             if ck["optimizer"] is not None:
-                self.opt_state = pmesh.replicate_tree(self.mesh, ck["optimizer"])
+                self.opt_state = pmesh.shard_params(self.mesh, ck["optimizer"])
             self.step = ck["global_step"]
         self._build_steps()
 

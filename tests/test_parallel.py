@@ -110,6 +110,130 @@ def test_sharded_beam_decode_matches_single_device():
                                np.asarray(out8.scores), rtol=1e-5, atol=1e-6)
 
 
+def _setup_tp():
+    """Tiny model sized so the 'model' axis divides the gate/attention dims
+    AND the vocab (V=16) — plus one dim (loc conv) that always replicates."""
+    cfg = {
+        "ctc_weight": 0.5,
+        "encoder": {"prenet": "", "module": "LSTM", "bidirection": True,
+                    "dim": [16], "sample_rate": [2], "sample_style": "drop"},
+        "attention": {"mode": "dot", "dim": 8, "num_head": 1},
+        "decoder": {"module": "LSTM", "dim": 16, "layer": 1},
+    }
+    model = ASR(8, 16, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    opt = Optimizer({"optimizer": "Adam", "lr": 1e-3})
+    return model, params, opt
+
+
+def test_model_parallel_spec_rules():
+    """Name-based tp rules: projections column-shard, embeddings row-shard,
+    indivisible dims replicate, unknown names replicate."""
+    from jax.sharding import PartitionSpec as P
+    _, params, opt = _setup_tp()
+    m = 4
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {jax.tree_util.keystr(p): pmesh.model_parallel_spec(p, l, m)
+             for p, l in flat}
+    assert specs[".encoder.layers[0].fwd.w_ih"] == P(None, "model")
+    assert specs[".encoder.layers[0].fwd.b"] == P("model")
+    assert specs[".char_w"] == P(None, "model")          # (16, 16) vocab cols
+    assert specs[".embed"] == P("model", None)           # (16, 16) vocab rows
+    assert specs[".attention.w_q"] == P(None, "model")
+    # indivisible dim -> replicate (V=15 model)
+    model15 = ASR(8, 15, {
+        "ctc_weight": 0.5,
+        "encoder": {"prenet": "", "module": "LSTM", "bidirection": True,
+                    "dim": [16], "sample_rate": [2], "sample_style": "drop"},
+        "attention": {"mode": "dot", "dim": 8, "num_head": 1},
+        "decoder": {"module": "LSTM", "dim": 16, "layer": 1}})
+    p15 = model15.init(jax.random.PRNGKey(0))
+    flat15 = jax.tree_util.tree_flatten_with_path(p15)[0]
+    s15 = {jax.tree_util.keystr(p): pmesh.model_parallel_spec(p, l, m)
+           for p, l in flat15}
+    assert s15[".char_w"] == P()                         # 15 % 4 != 0
+    assert s15[".embed"] == P()
+    # optax state leaves mirror the param names -> same rules fire
+    st = opt.init(jax.tree_util.tree_flatten_with_path(params)[1]
+                  .unflatten([l for _, l in flat]))
+    stf = jax.tree_util.tree_flatten_with_path(st)[0]
+    sharded = [p for p, l in stf
+               if pmesh.model_parallel_spec(p, l, m) != P()]
+    assert sharded, "optimizer moments should pick up the param rules"
+
+
+def test_make_mesh_model_parallel_validation():
+    with pytest.raises(ValueError, match="model_parallel"):
+        pmesh.make_mesh(8, model_parallel=3)
+    mesh = pmesh.make_mesh(8, model_parallel=4)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.shape["data"] == 2 and mesh.shape["model"] == 4
+
+
+def test_tp_step_matches_single_device():
+    """2x4 (data x model) mesh: tensor-parallel params + sharded batch must
+    reproduce the single-device loss and updated params — GSPMD collectives
+    are an implementation detail, not a semantics change."""
+    model, params, opt = _setup_tp()
+    opt_state = opt.init(params)
+    B, T, U = 8, 16, 8
+    rng = np.random.RandomState(0)
+    feat = rng.randn(B, T, 8).astype(np.float32)
+    feat_len = np.full((B,), T, np.int32)
+    text = rng.randint(2, 16, (B, U)).astype(np.int32)
+    text_len = np.full((B,), U, np.int32)
+    step = _step_fn(model, opt)
+
+    p1, o1, l1 = jax.jit(step)(params, opt_state, feat, feat_len, text,
+                               text_len)
+
+    mesh = pmesh.make_mesh(8, model_parallel=4)
+    params_s = pmesh.shard_params(mesh, params)
+    opt_s = pmesh.shard_params(mesh, opt_state)
+    # at least one leaf must actually be tp-sharded (not a vacuous pass)
+    assert any(len(l.sharding.spec) and "model" in str(l.sharding.spec)
+               for l in jax.tree_util.tree_leaves(params_s))
+    batch = pmesh.shard_batch(mesh, {"feat": feat, "feat_len": feat_len,
+                                     "text": text, "text_len": text_len})
+    p8, o8, l8 = jax.jit(step)(params_s, opt_s, batch["feat"],
+                               batch["feat_len"], batch["text"],
+                               batch["text_len"])
+
+    np.testing.assert_allclose(float(l1), float(l8), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_tp_beam_decode_matches_single_device():
+    """Decode with tensor-parallel params: identical tokens/lengths, scores
+    to fp tolerance."""
+    from end_to_end_asr_pytorch_tpu.decode.beam import BeamDecoder
+    model, params, _ = _setup_tp()
+    dec = BeamDecoder(model, {"beam_size": 3, "min_len_ratio": 0.05,
+                              "max_len_ratio": 0.6, "ctc_weight": 0.3})
+    B, T = 8, 16
+    rng = np.random.RandomState(1)
+    feat = rng.randn(B, T, 8).astype(np.float32)
+    feat_len = np.full((B,), T, np.int32)
+    fn = jax.jit(lambda p, f, fl: dec.forward(p, f, fl))
+
+    out1 = fn(params, feat, feat_len)
+
+    mesh = pmesh.make_mesh(8, model_parallel=2)
+    params_s = pmesh.shard_params(mesh, params)
+    sb = pmesh.shard_batch(mesh, {"feat": feat, "feat_len": feat_len})
+    out8 = fn(params_s, sb["feat"], sb["feat_len"])
+
+    np.testing.assert_array_equal(np.asarray(out1.tokens),
+                                  np.asarray(out8.tokens))
+    np.testing.assert_array_equal(np.asarray(out1.lengths),
+                                  np.asarray(out8.lengths))
+    np.testing.assert_allclose(np.asarray(out1.scores),
+                               np.asarray(out8.scores), rtol=1e-5, atol=1e-6)
+
+
 def test_pad_batch_to():
     batch = {"wave": np.ones((5, 4), np.float32),
              "text_len": np.array([3, 3, 3, 3, 3], np.int32),
