@@ -243,9 +243,11 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
             # one per-hypothesis max shift, so any contribution from time
             # steps with wd below ~1/254 of the max is dropped — psi is
             # quantization-step accurate for candidates whose mass rides
-            # the dominant weight steps (measured <0.03 nats within 2 nats
-            # of the per-hypothesis best, <0.15 within 3; candidates >4-5
-            # nats back can degrade toward the md-69 floor below).
+            # the dominant weight steps (chip-measured at V=1024/T=112:
+            # <0.06 nats within 1 nat of the per-hypothesis best, <0.16
+            # within 2, <0.41 within 3 — backend-independent, q8-vs-f32
+            # and q8-vs-bf16 agree to 2e-3; candidates >4-5 nats back can
+            # degrade toward the md-69 floor below).
             # Halves the einsum's HBM reads vs bf16, doubles MXU s8 rate.
             qw = jnp.clip(jnp.round(wd * 127.0), 0.0, 127.0
                           ).astype(jnp.int8)
