@@ -30,7 +30,7 @@ ITERS = 20  # 10-iter trials swing +-10% through the TPU tunnel
 
 
 def run_one(V, ctc_candidates, psi_quant=False, approx_topk=False,
-            batch=BATCH, iters=ITERS):
+            ctc_window=0, batch=BATCH, iters=ITERS):
     import jax
     import jax.numpy as jnp
     from end_to_end_asr_pytorch_tpu.models.asr import ASR
@@ -52,6 +52,8 @@ def run_one(V, ctc_candidates, psi_quant=False, approx_topk=False,
         cfg["psi_quant"] = psi_quant
     if approx_topk:
         cfg["approx_topk"] = approx_topk
+    if ctc_window:
+        cfg["ctc_window"] = ctc_window
     decoder = BeamDecoder(model, cfg, lm=lm)
 
     fwd = jax.jit(lambda p, lp, w, wl: decoder.forward(
@@ -74,9 +76,11 @@ def run_one(V, ctc_candidates, psi_quant=False, approx_topk=False,
         "ctc_candidates": cfg["ctc_candidates"],
         "psi_quant": psi_quant or False,
         "approx_topk": approx_topk or False,
+        "ctc_window": ctc_window or False,
         "mode": ("full" if cfg["ctc_candidates"] >= V else "candidate")
                 + ("+q8" if psi_quant else "")
-                + (f"+atk{approx_topk}" if approx_topk else ""),
+                + (f"+atk{approx_topk}" if approx_topk else "")
+                + (f"+w{ctc_window}" if ctc_window else ""),
         "batch": batch,
         "utts_per_sec": round(batch / dt, 1),
         "ms_per_batch": round(dt * 1e3, 1),
@@ -107,14 +111,22 @@ def main():
         # WER-neutral on the trained checkpoints (util/run_sub5k.sh A/B)
         (5120, None, "int8", 0.95),
         (16384, None, "int8", 0.95),
+        # windowed phase-1 psi (ctc_window; WER-neutral on the trained
+        # V=4591 checkpoint — see BASELINE.md sub5k A/B)
+        (1024, None, False, False, 32),
+        (5120, None, False, False, 32),
+        (16384, None, False, False, 32),
+        (16384, None, False, 0.95, 32),
     ]
     only = sys.argv[1:] if len(sys.argv) > 1 else None
-    for V, C, Q, A in configs:
+    for cfg_row in configs:
+        V, C, Q, A = cfg_row[:4]
+        W = cfg_row[4] if len(cfg_row) > 4 else 0
         tag = (f"{V}/{C}" + ("/q8" if Q else "")
-               + (f"/atk{A}" if A else ""))
+               + (f"/atk{A}" if A else "") + (f"/w{W}" if W else ""))
         if only and tag not in only:
             continue
-        r = run_one(V, C, Q, A)
+        r = run_one(V, C, Q, A, W)
         rows.append(r)
         print(json.dumps(r), flush=True)
     out_file = Path(__file__).parent / "bench_vocab.json"
@@ -122,7 +134,8 @@ def main():
     # replace rows with the same (V, ctc_candidates)
     key = lambda r: (r["V"], r["ctc_candidates"],
                      str(r.get("psi_quant") or ""),
-                     str(r.get("approx_topk") or ""))
+                     str(r.get("approx_topk") or ""),
+                     str(r.get("ctc_window") or ""))
     keyed = {key(r): r for r in old}
     for r in rows:
         keyed[key(r)] = r

@@ -139,6 +139,17 @@ class BeamDecoder:
         self.psi_quant = pq or False
         if self.psi_quant:       # mutually exclusive phase-1 psi overrides
             self.psi_pallas = False
+        # windowed phase-1 psi (opt-in, large-V lever): > 0 restricts the
+        # psi reduction to this many encoder frames around the per-sample
+        # alignment frontier (ops/ctc_prefix.py `window` — cuts the
+        # dominant (B,T,V) re-read by T/W on trained monotonic models;
+        # 0 = off/exact). Composes with psi_quant (windows the int8
+        # operand); ignored when psi_kernel is forced on (the Pallas path
+        # streams full T by construction).
+        cwin = int(decode_cfg.get("ctc_window", 0) or 0)
+        if cwin < 0:
+            raise ValueError(f"ctc_window must be >= 0, got {cwin}")
+        self.ctc_window = cwin
         # approximate continuation top-k (opt-in, large-V lever): False, or
         # a recall target in (0, 1] passed to lax.approx_max_k
         at = decode_cfg.get("approx_topk", False)
@@ -165,13 +176,14 @@ class BeamDecoder:
         # trained-model decode exits as soon as transcripts end.
         es = decode_cfg.get("early_stop", "auto")
         if es == "auto":
-            # psi_quant breaks the bound's premise: the carried quantized
-            # psi can UNDERESTIMATE a weak hypothesis's exact finalization
-            # score by more than the slack (its eos score uses the exact
-            # phase-2 ctc_eos), so the 'exact early exit' would no longer
-            # be exact. Compose conservatively; forcing early_stop=True
-            # alongside psi_quant is allowed but documented-approximate.
-            self.early_stop = not self.psi_quant
+            # psi_quant / ctc_window break the bound's premise: the carried
+            # approximate psi can UNDERESTIMATE a weak hypothesis's exact
+            # finalization score by more than the slack (its eos score uses
+            # the exact phase-2 ctc_eos), so the 'exact early exit' would no
+            # longer be exact. Compose conservatively; forcing
+            # early_stop=True alongside them is allowed but
+            # documented-approximate.
+            self.early_stop = not (self.psi_quant or self.ctc_window)
         else:
             self.early_stop = bool(es)
         self.early_stop_slack = float(decode_cfg.get("early_stop_slack",
@@ -262,9 +274,14 @@ class BeamDecoder:
             from ..ops.pallas.psi_kernel import pick_block
             psi_pallas = (self.psi_pallas if pick_block(
                 V, T, ctc_probs.dtype.itemsize) is not None else False)
+            # per-frame best non-blank log-prob: the ctc_window frontier
+            # signal (loop-invariant companion; padded frames are all
+            # NEG_INF non-blank so they can never win the argmax)
+            max_nb_lp = (jnp.max(ctc_lp[:, :, 1:], axis=-1)
+                         if (self.ctc_window and not psi_pallas) else None)
         else:
             ctc_lp = r_state = None
-            ctc_probs = blank_lp = ctc_probs_q8 = None
+            ctc_probs = blank_lp = ctc_probs_q8 = max_nb_lp = None
             psi_pallas = False
             psi_prev = jnp.zeros((B, K))
 
@@ -408,7 +425,8 @@ class BeamDecoder:
                     ctc_lp, carry["r"], carry["last"],
                     jnp.full((B, K), t, jnp.int32), with_state=False,
                     probs=ctc_probs, psi_pallas=psi_pallas,
-                    probs_q8=ctc_probs_q8)
+                    probs_q8=ctc_probs_q8, window=self.ctc_window,
+                    max_nb_lp=max_nb_lp)
                 if C < V:
                     _, cand = jax.lax.top_k(masked, C)          # (B, K, C)
                     psi = jnp.take_along_axis(psi_full, cand, axis=2)

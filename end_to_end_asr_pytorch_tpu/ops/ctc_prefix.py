@@ -98,7 +98,9 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
                      probs_vt: jnp.ndarray | None = None,
                      blank_lp: jnp.ndarray | None = None,
                      psi_pallas: bool | str = False,
-                     probs_q8: jnp.ndarray | None = None
+                     probs_q8: jnp.ndarray | None = None,
+                     window: int = 0,
+                     max_nb_lp: jnp.ndarray | None = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray | None]:
     """Score vocab extensions of every hypothesis — PARALLEL-in-T form.
 
@@ -140,6 +142,20 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
     255) — the beam always uses the full-vocab matmul. The path is kept,
     exact and tested, for callers outside hot TPU loops (CPU scoring,
     offline rescoring) where the C<<V compute saving is real.
+
+    ``window`` > 0 (beam.py ``ctc_window``; psi-only full-vocab path only)
+    restricts the phase-1 psi reduction to a ``window``-frame slice of the
+    probs tensor around the per-sample alignment frontier — the argmax over
+    t of [max_k phi_diff (+ ``max_nb_lp``, the loop-invariant per-frame best
+    non-blank log-prob, which sharpens the frontier against the flat
+    trailing-blank plateau of phi)]. For a trained (peaky, monotonic) CTC
+    head the weights exp(phi - md) die off within a few frames of the
+    frontier on both sides, so the windowed sum is the full sum minus
+    negligible mass; HBM reads of the dominant (B,T,V) operand drop by
+    T/window. Contributions outside the window are DROPPED (psi is
+    underestimated; a candidate with all its mass outside degrades to the
+    same finite floor class as the q8 path) — opt-in approximation, exact
+    when the window covers the weight support.
 
     Returns (psi (B, K, C) full prefix log-prob of each extension,
              r_new (B, K, C, T, 2) state of each extension); C = V if
@@ -232,6 +248,31 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
             return psi_fused(
                 wd, probs, md[..., 0], psi_same, last_tok, blank=blank,
                 interpret=(psi_pallas == "interpret")), None
+
+        if window and window < T:
+            # -------- windowed phase-1 psi (see docstring): slice the
+            # W-frame window per sample with vmapped dynamic_slice (W
+            # CONTIGUOUS t-rows of (T, V) — not the scattered axis-1 row
+            # gathers that measured catastrophic in round 3) and run the
+            # same einsum on (B,K,W) x (B,W,V). md stays the full-range
+            # max (a valid shift for any sub-range). psi_same above is
+            # untouched: its p_last traffic is K columns, V-independent.
+            W = int(window)
+            sup = jnp.max(phi_diff, axis=1)                     # (B, T)
+            if max_nb_lp is not None:
+                sup = sup + max_nb_lp
+            start = jnp.clip(
+                jnp.argmax(sup, axis=-1).astype(jnp.int32) - W // 2,
+                0, T - W)                                       # (B,)
+            wd = jax.vmap(
+                lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=1)
+            )(wd, start)                                        # (B, K, W)
+            slice_tv = jax.vmap(
+                lambda a, s: jax.lax.dynamic_slice_in_dim(a, s, W, axis=0))
+            if probs_q8 is not None:
+                probs_q8 = slice_tv(probs_q8, start)            # (B, W, V)
+            else:
+                probs = slice_tv(probs, start)                  # (B, W, V)
 
         if probs_q8 is not None:
             # int8-quantized psi matmul (beam.py `psi_quant`): probs were

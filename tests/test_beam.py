@@ -296,6 +296,8 @@ def test_beam_structural_invariants_fuzz(seed):
         cfg["psi_quant"] = "int8"
     if rng.randint(2):
         cfg["approx_topk"] = 0.95
+    if rng.randint(2):
+        cfg["ctc_window"] = int(rng.choice([4, 8, 64]))
     B = 3
     feat = jnp.asarray(rng.randn(B, T_ENC, 6), jnp.float32)
     flen = jnp.asarray(rng.randint(2, T_ENC + 1, (B,)), jnp.int32)
