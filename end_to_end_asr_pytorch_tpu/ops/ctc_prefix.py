@@ -155,7 +155,14 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
     T/window. Contributions outside the window are DROPPED (psi is
     underestimated; a candidate with all its mass outside degrades to the
     same finite floor class as the q8 path) — opt-in approximation, exact
-    when the window covers the weight support.
+    when the window covers the weight support. CAVEAT (length-divergent
+    beams): the frontier is the max over all K hypotheses of a sample and
+    the slice is SHARED across them, so a hypothesis whose own alignment
+    trails the beam-best frontier by more than window/2 frames has its psi
+    underestimated beyond the per-candidate tail case above — pick
+    ``window`` large enough to span the within-beam frontier spread (a
+    per-hypothesis slice would make the probs operand (B,K,W,V), K x the
+    HBM traffic the window exists to save, so it is not offered).
 
     Returns (psi (B, K, C) full prefix log-prob of each extension,
              r_new (B, K, C, T, 2) state of each extension); C = V if

@@ -42,8 +42,12 @@ class BaseSolver:
         self.timer = Timer()
         # "native" single-file msgpack (default) or "orbax" directories;
         # load_checkpoint sniffs, so this only affects how NEW ckpts are
-        # written (utils/checkpoint.py).
+        # written (utils/checkpoint.py). Validated HERE so a typo fails at
+        # startup, not hours in at the first validation save.
         self.ckpt_format = config.get("ckpt_format", "native")
+        if self.ckpt_format not in ("native", "orbax"):
+            raise ValueError(
+                f"ckpt_format {self.ckpt_format!r} (want native|orbax)")
 
     # ------------------------------------------------------------- logging
     @property

@@ -72,8 +72,12 @@ def load_checkpoint(path: str, model_template: Any,
     from native checkpoints (torch optimizer state is not optax-portable).
     """
     from .torch_ckpt import is_torch_checkpoint, load_torch_checkpoint
-    if Path(path).is_dir():
-        return _load_orbax(path, model_template, opt_template)
+    p = Path(path)
+    if not p.exists():
+        p = _recover_orbax_sibling(p)
+    if p.is_dir():
+        return _load_orbax(p, model_template, opt_template)
+    path = str(p)
     if is_torch_checkpoint(path):
         return load_torch_checkpoint(path, model_template)
     with open(path, "rb") as f:
@@ -94,19 +98,36 @@ def load_checkpoint(path: str, model_template: Any,
 
 # ---------------------------------------------------------------------------
 # orbax backend: <path>/ is a directory with `model/` and optional
-# `optimizer/` StandardCheckpointer items plus a tiny `meta.json`. Saved to a
-# `.tmp` sibling then renamed so a partially-written checkpoint never sits at
-# the final name. Caveat vs the native single-file format: overwriting an
-# EXISTING dir needs rmtree-then-rename (rename can't replace a non-empty
-# dir), so a preemption in that window leaves only the complete `.tmp` —
-# recoverable, but not the native format's single-syscall atomicity.
+# `optimizer/` StandardCheckpointer items plus a tiny `meta.json` (written
+# LAST, so a dir containing meta.json is complete). Saved to a `.tmp`
+# sibling; an existing dir is renamed aside to `.old` before the `.tmp` is
+# promoted (rename can't replace a non-empty dir), then `.old` is removed.
+# A preemption therefore always leaves at least one COMPLETE checkpoint:
+# either at the final name, or at a sibling `_recover_orbax_sibling` in
+# load_checkpoint promotes back automatically. Not the native format's
+# single-syscall atomicity, but no longer a manual-rename recovery.
 # ---------------------------------------------------------------------------
+
+def _recover_orbax_sibling(p: Path) -> Path:
+    """Nothing at ``p``: a preemption may have struck _save_orbax between
+    renaming the old dir aside and promoting the new one. Promote the best
+    complete sibling back: ``.tmp`` (the in-flight save — newer, and
+    complete iff its meta.json landed, since meta is written last) wins
+    over ``.old`` (the previous checkpoint)."""
+    for suffix in (".tmp", ".old"):
+        cand = p.with_suffix(p.suffix + suffix)
+        if cand.is_dir() and (cand / "meta.json").exists():
+            cand.rename(p)
+            return p
+    return p          # let the caller's open() raise the usual error
+
 
 def _save_orbax(path, model_params, opt_state, global_step, metrics) -> None:
     import orbax.checkpoint as ocp
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
+    old = path.with_suffix(path.suffix + ".old")
     shutil.rmtree(tmp, ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     try:
@@ -119,10 +140,12 @@ def _save_orbax(path, model_params, opt_state, global_step, metrics) -> None:
     (tmp / "meta.json").write_text(json.dumps(
         {"global_step": int(global_step), "metrics": metrics or {}}))
     if path.is_dir():
-        shutil.rmtree(path)
+        shutil.rmtree(old, ignore_errors=True)   # stale .old from a crash
+        path.rename(old)                         # keep a complete ckpt live
     elif path.exists():          # switching formats mid-experiment
         path.unlink()
     tmp.replace(path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _load_orbax(path, model_template, opt_template) -> Dict[str, Any]:

@@ -85,6 +85,52 @@ def test_unknown_format_rejected(tmp_path):
         save_checkpoint(tmp_path / "x.pth", _tree(), fmt="safetensors")
 
 
+def test_solver_rejects_bad_ckpt_format_at_init(tmp_path):
+    """ADVICE r4: a ckpt_format typo must fail at startup, not at the first
+    validation save hours into the run."""
+    from end_to_end_asr_pytorch_tpu.solvers.base import BaseSolver
+
+    class P:
+        config = "exp.yaml"; name = None; seed = 0
+        logdir = str(tmp_path / "log"); ckpdir = str(tmp_path / "ckpt")
+        outdir = str(tmp_path / "out"); no_msg = True
+
+    with pytest.raises(ValueError, match="ckpt_format"):
+        BaseSolver({"ckpt_format": "orbx"}, P(), "train")
+
+
+@pytest.mark.parametrize("crash_window", ["after_rename_aside",
+                                          "mid_tmp_write"])
+def test_orbax_preemption_recovery(tmp_path, crash_window):
+    """ADVICE r4: the orbax overwrite renames the old dir aside before
+    promoting the new one; a preemption in either window must still leave a
+    checkpoint that load_checkpoint finds (by promoting the complete
+    sibling), with no manual rename."""
+    path = tmp_path / "latest.pth"
+    save_checkpoint(path, _tree(1), None, global_step=1, fmt="orbax")
+    save_checkpoint(path, _tree(2), None, global_step=2, fmt="orbax")
+    if crash_window == "after_rename_aside":
+        # simulate dying between path.rename(old) and tmp.replace(path):
+        # .old = step-2 ckpt, .tmp = a COMPLETE step-3 save
+        import shutil
+        shutil.copytree(path, tmp_path / "latest.pth.tmp")
+        meta = (tmp_path / "latest.pth.tmp" / "meta.json")
+        meta.write_text(meta.read_text().replace('"global_step": 2',
+                                                 '"global_step": 3'))
+        path.rename(tmp_path / "latest.pth.old")
+        expect_step = 3          # the newer complete sibling wins
+    else:
+        # simulate dying mid-save BEFORE meta.json landed: .tmp incomplete
+        # (no meta.json => skipped), .old holds the previous checkpoint
+        (tmp_path / "latest.pth.tmp").mkdir()
+        (tmp_path / "latest.pth.tmp" / "model").mkdir()
+        path.rename(tmp_path / "latest.pth.old")
+        expect_step = 2
+    out = load_checkpoint(path, _zeros_like_tree(_tree()))
+    assert out["global_step"] == expect_step
+    assert path.is_dir()         # the sibling was promoted back in place
+
+
 def test_solver_reads_ckpt_format_knob(tmp_path):
     from end_to_end_asr_pytorch_tpu.solvers.base import BaseSolver
 

@@ -12,7 +12,8 @@ train_retry() {
   cfg=$1; ckdir=$2; log=$3; shift 3
   for attempt in 1 2 3; do
     RESUME=""
-    [ -f "$ckdir/latest.pth" ] && RESUME="--load $ckdir/latest.pth"
+    # -e, not -f: with ckpt_format: orbax latest.pth is a DIRECTORY
+    [ -e "$ckdir/latest.pth" ] && RESUME="--load $ckdir/latest.pth"
     echo "--- train attempt $attempt ($cfg) $RESUME ($(date +%H:%M:%S))"
     if $ENV python main.py --config "$cfg" $RESUME "$@" >> "$log" 2>&1; then
       return 0
