@@ -34,13 +34,15 @@ def main():
     from end_to_end_asr_pytorch_tpu.utils.checkpoint import load_checkpoint
 
     cfg = yaml.safe_load(open(cfg_path))
-    dv_set, _, feat_dim, vocab, tok, _ = load_dataset(
+    # second slot = the TEST loader (mode='test' returns (dev, test, ...)):
+    # this harness's numbers are correlated with the CLI's test-split rates
+    _, tt_set, feat_dim, vocab, _, _ = load_dataset(
         1, True, False, False, mode="test", **cfg["data"])
     frontend, _ = create_transform(cfg["data"]["audio"])
     model = ASR(feat_dim, vocab, cfg["model"])
     params = load_checkpoint(ckpt, model.init(jax.random.PRNGKey(0)))["model"]
 
-    batch = next(iter(dv_set))
+    batch = next(iter(tt_set))
     wave = np.asarray(batch["wave"], np.float32)
     wave_len = np.asarray(batch["wave_len"], np.int32)
     B = wave.shape[0]

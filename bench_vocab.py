@@ -75,8 +75,9 @@ def run_one(V, ctc_candidates, psi_quant=False, approx_topk=False,
         "V": V,
         "ctc_candidates": cfg["ctc_candidates"],
         "psi_quant": psi_quant or False,
-        "approx_topk": approx_topk or False,
-        "ctc_window": ctc_window or False,
+        "approx_topk": approx_topk or 0.0,   # keep columns single-typed
+        "ctc_window": ctc_window or 0,
+
         "mode": ("full" if cfg["ctc_candidates"] >= V else "candidate")
                 + ("+q8" if psi_quant else "")
                 + (f"+atk{approx_topk}" if approx_topk else "")

@@ -337,8 +337,12 @@ class TextLineDataset:
 def _make_textset(corpus_cfg: Dict[str, Any], splits, tokenizer):
     if isinstance(splits, str):
         splits = [splits]
-    if all(str(s).endswith(".txt") for s in splits):
+    n_txt = sum(str(s).endswith(".txt") for s in splits)
+    if n_txt == len(splits):
         return TextLineDataset(corpus_cfg["path"], splits, tokenizer)
+    if n_txt:    # reject clearly instead of globbing 'foo.txt' as a corpus
+        raise ValueError(
+            f"cannot mix text-line files and transcript splits: {splits}")
     return _make_corpus(corpus_cfg, splits, tokenizer)
 
 

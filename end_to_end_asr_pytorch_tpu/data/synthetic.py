@@ -118,6 +118,14 @@ def generate_corpus(root: str, n_train: int = 64, n_dev: int = 16,
              else WORDS)
     successors = (make_bigram_grammar(len(words), branch)
                   if grammar == "bigram" else None)
+    # strict <: grammar sentences START on a non-homophone word (see
+    # docstring), so at least one word must remain outside the pairs —
+    # reject clearly here instead of crashing in the start sampler
+    if homophones and grammar == "bigram" and 2 * homophones >= len(words):
+        raise ValueError(
+            f"homophone pairs cover the whole {len(words)}-word inventory; "
+            "grammar sentences need >= 1 non-homophone start word "
+            f"(2*{homophones} >= {len(words)})")
     assert 2 * homophones <= len(words)
     # spoken[i] = the word whose characters are rendered for word i
     spoken = list(range(len(words)))

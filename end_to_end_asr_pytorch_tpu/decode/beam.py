@@ -149,6 +149,14 @@ class BeamDecoder:
         cwin = int(decode_cfg.get("ctc_window", 0) or 0)
         if cwin < 0:
             raise ValueError(f"ctc_window must be >= 0, got {cwin}")
+        if cwin and self.psi_pallas:
+            # the Pallas path streams full T by construction (ctc_prefix
+            # returns on that branch BEFORE the window slice), so the
+            # window would be a silent no-op — neutralize it here so
+            # early_stop 'auto' below still resolves to the exact early
+            # exit instead of giving it up for zero bandwidth benefit
+            print("[beam] ctc_window ignored: psi_kernel streams full T")
+            cwin = 0
         self.ctc_window = cwin
         # approximate continuation top-k (opt-in, large-V lever): False, or
         # a recall target in (0, 1] passed to lax.approx_max_k

@@ -74,8 +74,12 @@ def load_vec_table(vec_file: str, tokenizer) -> np.ndarray:
         row = vecs.get(piece)
         if row is None:
             row = vecs.get(piece.lower())
-        if row is None and piece.startswith("▁"):
-            row = vecs.get(piece[1:]) if len(piece) > 1 else None
+        if row is None and piece.startswith("▁") and len(piece) > 1:
+            # stripped word marker: retry case-sensitively AND lowercased
+            # ('▁The' must still hit a lowercase fasttext file's 'the')
+            row = vecs.get(piece[1:])
+            if row is None:
+                row = vecs.get(piece[1:].lower())
         if row is not None:
             table[i] = row
             hit += 1

@@ -184,3 +184,15 @@ def test_ctc_window_disables_auto_early_stop_and_validates():
     with pytest.raises(ValueError):
         BeamDecoder(model, {"beam_size": 2, "ctc_weight": 0.5,
                             "ctc_window": -3})
+
+
+def test_psi_kernel_neutralizes_ctc_window():
+    """r5 self-review: the Pallas psi path streams full T and returns
+    BEFORE the window slice, so ctc_window with psi_kernel would be a
+    silent no-op that still cost the exact early exit — the decoder must
+    neutralize the window and keep early_stop 'auto' = True."""
+    model, _ = _peaky_model()
+    dec = BeamDecoder(model, {"beam_size": 2, "ctc_weight": 0.5,
+                              "ctc_window": 16, "psi_kernel": "interpret"})
+    assert dec.ctc_window == 0
+    assert dec.early_stop is True

@@ -34,6 +34,28 @@ def _read_split(root, split):
     return out
 
 
+def test_full_homophone_inventory_rejected(tmp_path):
+    """r5 self-review: homophone pairs covering the whole inventory leave
+    no legal sentence-start word — reject clearly instead of crashing in
+    the start sampler (rng.randint(low >= high))."""
+    with pytest.raises(ValueError, match="non-homophone"):
+        synthetic.generate_corpus(
+            str(tmp_path / "x"), n_train=1, n_dev=1, n_test=1, min_words=2,
+            max_words=3, word_inventory=16, grammar="bigram", branch=2,
+            homophones=8)
+
+
+def test_mixed_text_and_corpus_split_rejected(root):
+    """r5 self-review: a split list mixing .txt files and transcript dirs
+    must fail with a clear message, not fall through to the audio glob."""
+    from end_to_end_asr_pytorch_tpu.data.dataset import _make_textset
+    tok = load_text_encoder("word", str(root / "vocab.txt")) \
+        if (root / "vocab.txt").exists() else None
+    with pytest.raises(ValueError, match="cannot mix"):
+        _make_textset({"path": str(root)},
+                      ["lm_text.txt", "train-clean"], tok)
+
+
 def test_grammar_governs_dev_test_and_lm_text(root):
     words = synthetic.make_word_inventory(N_WORDS)
     idx = {w: i for i, w in enumerate(words)}

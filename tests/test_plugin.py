@@ -172,6 +172,26 @@ def test_vec_table_loader(tmp_path):
     np.testing.assert_array_equal(table[:3], 0)         # reserved ids
 
 
+def test_vec_table_marker_strip_retries_lowercase(tmp_path):
+    """r5 self-review: a cased spm piece like '▁The' must still hit a
+    standard lowercase fasttext file's 'the' after the word marker is
+    stripped (previously only the case-exact stripped form was tried)."""
+    from end_to_end_asr_pytorch_tpu.utils.bert_embedding import load_vec_table
+
+    class Tok:                                 # minimal tokenizer surface
+        vocab_size = 5
+        _pieces = {3: "▁The", 4: "▁zz"}
+
+        def _id_to_piece(self, i):
+            return self._pieces[i]
+
+    vec = tmp_path / "lower.vec"
+    vec.write_text("2 3\nthe 1 2 3\nother 9 9 9\n")
+    table = load_vec_table(str(vec), Tok())
+    np.testing.assert_array_equal(table[3], [1, 2, 3])   # ▁The -> the
+    np.testing.assert_array_equal(table[4], 0)           # still a zero row
+
+
 def test_plugin_accepts_vec_src(tmp_path):
     """`src: foo.vec` in the plugin config works end-to-end (loss + fusion
     run on a .vec-built table), and needs the tokenizer."""

@@ -5,7 +5,12 @@
 set -e
 ENV="env -u XLA_FLAGS -u JAX_PLATFORMS"
 
+# bounded wait: the upstream script has `set -e` and never echoes the
+# sentinel on failure — give up after 4 h instead of spinning forever
+i=0
 while ! grep -q "pipeline done" /tmp/long_pipeline.log 2>/dev/null; do
+  i=$((i + 1))
+  [ $i -gt 240 ] && { echo "timed out waiting for long pipeline"; exit 1; }
   sleep 60
 done
 echo "=== long pipeline finished; kernel smoke ($(date +%H:%M:%S)) ==="

@@ -7,7 +7,11 @@
 set -e
 ENV="env -u XLA_FLAGS -u JAX_PLATFORMS"
 
+# bounded wait (see round4_chain.sh): give up after 6 h, don't spin forever
+i=0
 while ! grep -q "chain done" /tmp/chain.log 2>/dev/null; do
+  i=$((i + 1))
+  [ $i -gt 360 ] && { echo "timed out waiting for chain"; exit 1; }
   sleep 60
 done
 echo "=== chain finished; flagship bench ($(date +%H:%M:%S)) ==="
