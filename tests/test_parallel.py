@@ -162,6 +162,61 @@ def test_model_parallel_spec_rules():
     assert sharded, "optimizer moments should pick up the param rules"
 
 
+def test_tp_rule_coverage_large_vocab_exact_set():
+    """VERDICT r4 item 6: at the vocab scale tp exists FOR (V=16384 — the
+    embedding (V,E) and the two (d,V) logit heads dominate params), the
+    name rules must fire on EVERY intended matrix and nothing else.
+    The expected set is hard-coded so a param rename or rule edit that
+    silently stops sharding a matrix fails here, not in production."""
+    from jax.sharding import PartitionSpec as P
+    cfg = {
+        "ctc_weight": 0.5,
+        "encoder": {"prenet": "vgg", "module": "LSTM", "bidirection": True,
+                    "dim": [32, 32], "sample_rate": [1, 1],
+                    "sample_style": "drop", "dropout": [0.0, 0.0],
+                    "layer_norm": [False, False], "proj": [False, False]},
+        "attention": {"mode": "loc", "dim": 16, "num_head": 1},
+        "decoder": {"module": "LSTM", "dim": 32, "layer": 1},
+    }
+    model = ASR(40, 16384, cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {jax.tree_util.keystr(p): pmesh.model_parallel_spec(p, l, 4)
+             for p, l in flat}
+
+    col = P(None, "model")   # columns of a (in, out) projection
+    vec = P("model")         # the bias that pairs with a column shard
+    row = P("model", None)   # vocab rows of the embedding table
+    expected = {}
+    for layer in (0, 1):
+        for d in ("fwd", "bwd"):
+            expected[f".encoder.layers[{layer}].{d}.w_ih"] = col
+            expected[f".encoder.layers[{layer}].{d}.w_hh"] = col
+            expected[f".encoder.layers[{layer}].{d}.b"] = vec
+    expected.update({
+        ".ctc_w": col, ".ctc_b": vec,          # (64,16384) CTC head
+        ".char_w": col, ".char_b": vec,        # (32,16384) att head
+        ".embed": row,                         # (16384,32) lookup table
+        ".attention.w_q": col, ".attention.w_k": col,
+        ".attention.w_v": col, ".attention.w_f": col,
+        ".attention.v_energy": col, ".attention.bias": vec,
+        ".decoder.cells[0].w_ih": col, ".decoder.cells[0].w_hh": col,
+        ".decoder.cells[0].b": vec,
+    })
+    sharded = {k: v for k, v in specs.items() if v != P()}
+    assert sharded == expected
+    # and the non-sharded remainder is exactly the conv kernels/biases
+    # (VGG prenet + location conv) — structurally un-shardable here
+    replicated = set(specs) - set(expected)
+    assert replicated == {
+        ".encoder.prenet.k1", ".encoder.prenet.b1",
+        ".encoder.prenet.k2", ".encoder.prenet.b2",
+        ".encoder.prenet.k3", ".encoder.prenet.b3",
+        ".encoder.prenet.k4", ".encoder.prenet.b4",
+        ".attention.loc_conv",
+    }
+
+
 def test_make_mesh_model_parallel_validation():
     with pytest.raises(ValueError, match="model_parallel"):
         pmesh.make_mesh(8, model_parallel=3)
