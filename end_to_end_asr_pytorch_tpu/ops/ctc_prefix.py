@@ -207,7 +207,8 @@ def score_candidates(ctc_lp: jnp.ndarray | None, r_prev: jnp.ndarray,
             # ------ candidate-restricted psi: row-gather from (B, V, T) ----
             # The full-vocab einsum below re-reads the whole (B,T,V) probs
             # tensor every step; at subword vocabs that is the decode's
-            # dominant HBM traffic (V=16k, B=128, T=112 bf16: ~460 MB/step).
+            # dominant HBM traffic (V=16k, B=128, T_enc=176 bf16:
+            # ~740 MB/step at the 7 s bench shapes).
             # Here only the K*C candidate rows are gathered (contiguous
             # T-length rows of probs_vt), so reads scale with C, not V.
             idx = cand.reshape(B, K * C, 1).astype(jnp.int32)
