@@ -54,7 +54,18 @@ def _skip_field(buf: bytes, pos: int, wire_type: int) -> int:
         pos += 4
     else:
         raise ValueError(f"unsupported protobuf wire type {wire_type}")
+    if pos > len(buf):  # field body ran past the end: truncated message
+        raise ValueError("truncated protobuf field")
     return pos
+
+
+def _read_delimited(buf: bytes, pos: int) -> Tuple[bytes, int]:
+    """Length-prefixed bytes; rejects a length past the buffer end (a bare
+    slice would silently SHORTEN the field and mis-parse a truncated file)."""
+    n, pos = _read_varint(buf, pos)
+    if pos + n > len(buf):
+        raise ValueError("truncated protobuf field")
+    return buf[pos:pos + n], pos + n
 
 
 def _parse_sentence_piece(buf: bytes) -> Tuple[str, float, int]:
@@ -64,9 +75,8 @@ def _parse_sentence_piece(buf: bytes) -> Tuple[str, float, int]:
         key, pos = _read_varint(buf, pos)
         field, wt = key >> 3, key & 7
         if field == 1 and wt == 2:  # piece
-            n, pos = _read_varint(buf, pos)
-            piece = buf[pos:pos + n].decode("utf-8")
-            pos += n
+            raw, pos = _read_delimited(buf, pos)
+            piece = raw.decode("utf-8")
         elif field == 2 and wt == 5:  # score (float32)
             score = struct.unpack("<f", buf[pos:pos + 4])[0]
             pos += 4
@@ -78,18 +88,29 @@ def _parse_sentence_piece(buf: bytes) -> Tuple[str, float, int]:
 
 
 def parse_model_proto(data: bytes) -> List[Tuple[str, float, int]]:
-    """Return ``[(piece, score, type), ...]`` in model-id order."""
+    """Return ``[(piece, score, type), ...]`` in model-id order.
+
+    Raises ``ValueError`` on anything that is not a well-formed model —
+    including truncation mid-varint (IndexError), a float field cut short
+    (struct.error), or piece bytes that are not UTF-8 — so callers handing
+    us a user-supplied file always get one exception type with a clear
+    message (tests/test_sentencepiece.py fuzz cases).
+    """
     pieces = []
     pos = 0
-    while pos < len(data):
-        key, pos = _read_varint(data, pos)
-        field, wt = key >> 3, key & 7
-        if field == 1 and wt == 2:  # repeated SentencePiece pieces
-            n, pos = _read_varint(data, pos)
-            pieces.append(_parse_sentence_piece(data[pos:pos + n]))
-            pos += n
-        else:
-            pos = _skip_field(data, pos, wt)
+    try:
+        while pos < len(data):
+            key, pos = _read_varint(data, pos)
+            field, wt = key >> 3, key & 7
+            if field == 1 and wt == 2:  # repeated SentencePiece pieces
+                sub, pos = _read_delimited(data, pos)
+                pieces.append(_parse_sentence_piece(sub))
+            else:
+                pos = _skip_field(data, pos, wt)
+    except (IndexError, struct.error, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"corrupt or not a sentencepiece .model file ({e!r} at "
+            f"byte ~{pos}/{len(data)})") from e
     if not pieces:
         raise ValueError("no sentence pieces found: not a sentencepiece "
                          ".model file?")

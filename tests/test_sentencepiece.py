@@ -138,3 +138,51 @@ def test_vocab_tool_emits_spm_binary(tmp_path):
     assert isinstance(enc, SentencePieceTextEncoder)
     for s in ("the cat sat", "dog on log", "the mat"):
         assert enc.decode(enc.encode(s)) == s
+
+
+def test_truncation_always_valueerror():
+    """Every proper prefix of a real model either parses (a whole number of
+    pieces survived) or raises ValueError — never IndexError/struct.error
+    from the wire-format internals (user-supplied file contract)."""
+    blob = serialize_model_proto(PIECES)
+    f32 = lambda s: struct.unpack("<f", struct.pack("<f", s))[0]
+    expect = [(p, f32(s), t) for p, s, t in PIECES]
+    for cut in range(len(blob)):
+        data = blob[:cut]
+        try:
+            out = parse_model_proto(data)
+        except ValueError:
+            continue
+        assert out == expect[:len(out)] and len(out) >= 1
+
+
+def test_fuzz_random_bytes_valueerror_only():
+    """Deterministic byte-blob fuzz: arbitrary garbage must parse or raise
+    ValueError — no other exception type escapes."""
+    import random
+    rng = random.Random(0xA5)
+    for trial in range(400):
+        data = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 96)))
+        try:
+            parse_model_proto(data)
+        except ValueError:
+            pass
+
+
+def test_fuzz_bitflips_on_real_model_valueerror_only():
+    """Single-byte corruptions of a real model: same exception contract,
+    and any successful parse still yields (str, float, int) triples."""
+    import random
+    blob = serialize_model_proto(PIECES)
+    rng = random.Random(0x5A)
+    for trial in range(400):
+        i = rng.randrange(len(blob))
+        data = blob[:i] + bytes([rng.getrandbits(8)]) + blob[i + 1:]
+        try:
+            out = parse_model_proto(data)
+        except ValueError:
+            continue
+        for piece, score, ptype in out:
+            assert isinstance(piece, str)
+            assert isinstance(score, float)
+            assert isinstance(ptype, int)
